@@ -1,0 +1,99 @@
+"""Driver-facing query registry.
+
+Every implemented operator from SURVEY.md §2 (plus the beyond-reference
+LLM-pipeline operators) registers here as a named query: a
+(spark, sf_dir) -> DataFrame callable and, when SQL-expressible, a DuckDB
+oracle SQL string over the same parquet tables. `__spark_entry__.py` simply
+re-exports this registry.
+
+Cross-engine determinism conventions (oracle value-hash is exact):
+  - Money/double SUMs go through integer cents: round(x*100) → BIGINT sum →
+    /100.0 at the end. Exact, associative, bitwise-identical in both engines.
+  - Averages are (exact integer sum → double) / (count → double) — IEEE
+    division is deterministic; never engine-native avg() over doubles.
+  - Aggregate integer results are cast to BIGINT in DuckDB (its sum(int)
+    returns HUGEINT which would arrow-materialize as decimal128).
+  - Session timezone pinned to UTC before reading naive parquet timestamps.
+  - Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses natively;
+        # read the raw int64 nanos and truncate to micros (the data carries
+        # no sub-microsecond component; DuckDB's ns→us cast truncates too).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def cents_sum(c: Column | str, alias: str) -> Column:
+    """SUM of a 2-decimal double, exactly: integer-cents sum → euros double."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.sum(F.round(c * 100).cast("long")) / F.lit(100.0)).alias(alias)
+
+
+def cents_avg(c: Column | str, alias: str) -> Column:
+    """Deterministic mean of a 2-decimal double via exact integer sum."""
+    c = F.col(c) if isinstance(c, str) else c
+    s = F.sum(F.round(c * 100).cast("long")).cast("double")
+    n = F.count(c).cast("double")
+    return (s / n / F.lit(100.0)).alias(alias)
+
+
+def sql_cents_sum(expr: str, alias: str) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS {alias}"
+
+
+def sql_cents_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count({expr}) AS DOUBLE) / 100.0 AS {alias}"
+    )
+
+
+# Import query modules for their registration side effects.
+from . import relational  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

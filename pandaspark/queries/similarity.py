@@ -1,0 +1,141 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim) —
+SURVEY.md §2.11.
+
+Brute-force cosine top-k is the exact baseline (a broadcast-join + window);
+the LSH-bucketed variant is the 100 TB path (candidates shrink from N×Q to
+bucket-local). Dot products run as JVM array expressions (zip_with +
+aggregate) — sequential fold, so the float summation order is identical to
+DuckDB's list functions and results hash-match exactly after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_K = 5
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+# --- q40: brute-force cosine top-k ----------------------------------------
+
+_Q40_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (
+  SELECT qid, vec_id,
+         round(list_dot_product(qe, embedding)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(embedding, embedding))), 4)
+         AS cosine
+  FROM q JOIN embeddings ON vec_id != qid
+)
+SELECT qid, vec_id, cosine,
+       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+FROM c
+QUALIFY rk <= {_K}
+"""
+
+
+@register("q40_cosine_topk", _Q40_ORACLE, "brute-force cosine top-k ANN baseline")
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    joined = F.broadcast(q).crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
+    cosine = F.round(
+        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        joined.select("qid", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _K)
+    )
+
+
+# --- q41: label centroid classification -----------------------------------
+
+_Q41_ORACLE = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_dim0,
+       CAST(sum(CAST(round(CAST(embedding[33] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_dim32
+FROM embeddings GROUP BY label
+"""
+
+
+@register("q41_label_centroids", _Q41_ORACLE, "per-label centroid components (vector agg)")
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # centroid means computed through micro-unit integers: exact, associative,
+    # engine-independent (float sums would be summation-order-dependent)
+    e = load(spark, sf_dir, "embeddings")
+
+    def mean_dim(i: int, alias: str):
+        s = F.sum(F.round(F.col("embedding")[i].cast("double") * 1000000).cast("long"))
+        return (s.cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1000000.0)).alias(alias)
+
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), mean_dim(0, "mean_dim0"), mean_dim(32, "mean_dim32")
+    )
+
+
+# --- q42: LSH-bucketed ANN (random hyperplane signs) — rows-only ----------
+
+_N_PLANES = 8
+
+
+@register("q42_lsh_ann", None, "sign-LSH bucketed ANN candidates (rows-only check)")
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-style bucketing: sign of dot(v, h_p) for deterministic
+    pseudo-random hyperplanes → 8-bit bucket id; ANN search only compares
+    vectors within a bucket. The 100 TB scale path for q40: the crossJoin
+    N×Q collapses to per-bucket joins.
+
+    Hyperplanes derive from xxhash64(dim, plane) — deterministic, no
+    driver-side randomness, no data shipped to Python.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    # pseudo-random unit-ish hyperplane component for (dim i, plane p):
+    # map xxhash64 to [-1, 1) deterministically.
+    def plane_component(i_col, p: int):
+        h = F.xxhash64(i_col, F.lit(p))
+        return (h % 10007).cast("double") / F.lit(5003.5) - F.lit(1.0)
+
+    def bucket_bit(p: int):
+        prod = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: plane_component(i, p)),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+
+    bucket = sum([bucket_bit(p) for p in range(_N_PLANES)], F.lit(0))
+    buckets = e.select("vec_id", "label", bucket.alias("bucket"))
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.countDistinct("label").alias("n_labels")
+    )

@@ -1,0 +1,220 @@
+"""Text-analysis & deduplication operators over the `documents` table
+(SURVEY.md §2.11 — the LLM-data-pipeline surface).
+
+All hot paths are built-in expressions (JVM-side, codegen'd); nothing here
+ships rows through Python. At 100 TB each of these is a single map pass +
+one hash aggregation on doc-hash or lang — the natural shuffle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+
+def _norm_text(c="text"):
+    """Normalization for content hashing: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(F.col(c) if isinstance(c, str) else c), r"\s+", " "))
+
+
+# --- q30: exact dedup via content hash ------------------------------------
+
+_Q30_ORACLE = """
+WITH h AS (
+  SELECT lang,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_hash
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_hash) AS BIGINT) AS n_unique,
+       CAST(count(*) AS BIGINT) - CAST(count(DISTINCT doc_hash) AS BIGINT) AS n_dupes
+FROM h
+GROUP BY lang
+"""
+
+
+@register("q30_exact_dedup", _Q30_ORACLE, "normalized sha256 content-hash dedup stats")
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = d.select("lang", F.sha2(_norm_text(), 256).alias("doc_hash"))
+    return h.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_hash").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_hash")).alias("n_dupes"),
+    )
+
+
+# --- q31: text statistics (length / tokens / punctuation) -----------------
+
+_Q31_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(regexp_extract_all(text, '[.,;:!?]'))) AS BIGINT) AS total_punct,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q31_text_stats", _Q31_ORACLE, "char/token/punctuation counts per language")
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = F.regexp_count("text", F.lit(r"\S+"))
+    punct = F.regexp_count("text", F.lit(r"[.,;:!?]"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(tokens).cast("long").alias("total_tokens"),
+        F.sum(punct).cast("long").alias("total_punct"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+
+
+# --- q32: heuristic language scoring (stopword hits) ----------------------
+
+_STOPWORDS = ["the", "and", "der", "und", "le", "la", "el", "los"]
+
+
+def _sql_hits(word: str) -> str:
+    return f"length(regexp_extract_all(lower(text), '\\b{word}\\b'))"
+
+
+_Q32_ORACLE = f"""
+SELECT lang,
+       CAST(sum({_sql_hits('the')} + {_sql_hits('and')}) AS BIGINT) AS en_hits,
+       CAST(sum({_sql_hits('der')} + {_sql_hits('und')}) AS BIGINT) AS de_hits,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q32_lang_score", _Q32_ORACLE, "stopword-hit language-ID signal per lang")
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+
+    def hits(w: str):
+        return F.regexp_count(lower, F.lit(rf"\b{w}\b"))
+
+    return d.groupBy("lang").agg(
+        F.sum(hits("the") + hits("and")).cast("long").alias("en_hits"),
+        F.sum(hits("der") + hits("und")).cast("long").alias("de_hits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --- q33: n-gram Jaccard near-dup pairs -----------------------------------
+
+_Q33_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct([substring(t, i, 3) FOR i IN range(1, length(t) - 1)]) AS shingles
+  FROM (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id < 60)
+)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(length(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4)
+         AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.12
+"""
+
+
+@register("q33_ngram_jaccard", _Q33_ORACLE, "3-gram shingle Jaccard similarity join (near-dup)")
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    t = _norm_text()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, F.lit(3)),
+        )
+    )
+    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles"))))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.12)
+    )
+
+
+# --- q34: MinHash near-dedup (LSH banding) — no SQL oracle ----------------
+
+_N_HASHES = 16
+_BANDS = 4  # 4 rows per band
+
+
+@register("q34_minhash_lsh", None, "MinHash+LSH banding candidate pairs (rows-only check)")
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures from 3-gram shingles via xxhash64 with seed salts,
+    banded into LSH buckets; bucket-join yields candidate near-dup pairs.
+
+    Pure built-in expressions (no MLlib model fit needed, no UDF): at 100 TB
+    this is one map pass + a groupBy on (band, bucket-hash) whose fanout is
+    bounded by band width — the canonical scalable near-dedup plan.
+    DuckDB has no xxhash64, so the driver does a rows-only check; the
+    Jaccard oracle (q33) covers the semantics of near-dup detection.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = _norm_text()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+            lambda i: F.substring(t, i, F.lit(3)),
+        )
+    )
+    def seeded_min(seed: int):
+        # factory keeps the transform lambda unary — a two-param lambda
+        # would be interpreted by Spark as (element, index)
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = F.array(*[seeded_min(i) for i in range(_N_HASHES)])
+    rows_per_band = _N_HASHES // _BANDS
+    banded = d.select(F.col("doc_id"), shingles.alias("shingles")).select(
+        "doc_id", sig.alias("sig")
+    )
+    bands = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

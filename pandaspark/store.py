@@ -1,0 +1,173 @@
+"""Transaction store (SURVEY.md §2.1 S5-S7, §2.4 J1-J2, §2.2 P11/P13):
+fingerprinting, existing-wins dedup, upsert, canonical ordering — on plain
+Parquet, pure DataFrame ops.
+
+Behavioral spec: /root/reference/panda.py:596-745. The reference uses a
+DuckDB table with `INSERT ... ON CONFLICT (fingerprint) DO UPDATE`; here the
+same exactly-once semantics come from a fingerprint equi-key MERGE rewritten
+as anti-join + union (Delta MERGE would be the drop-in upgrade when its jars
+are on the classpath — the interface below doesn't change).
+
+Scale notes (100 TB):
+  - fingerprint is a deterministic sha2 over the natural key → upsert joins
+    are equi-joins, broadcastable when a batch is small vs the store.
+  - "existing wins" dedup uses a window over the natural key with an
+    explicit priority, never dropDuplicates (which keeps an arbitrary row).
+  - sequential transaction_id is a *global* ordering — inherently serial.
+    We keep the semantic via two-phase numbering: per-partition counts →
+    cumulative offsets broadcast back (zipWithIndex-style) — no single-
+    partition window bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions import fingerprint, from_cents, to_cents
+
+NATURAL_KEY = ["account", "book_date", "valuta_date", "party", "book_text", "purpose", "amount"]
+CANONICAL_ORDER = ["book_date", "account", "valuta_date", "party", "purpose"]
+
+TRANSACTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("transaction_id", T.LongType(), False),
+        T.StructField("account", T.StringType(), False),
+        T.StructField("book_date", T.DateType(), False),
+        T.StructField("valuta_date", T.DateType(), False),
+        T.StructField("party", T.StringType(), True),
+        T.StructField("book_text", T.StringType(), True),
+        T.StructField("purpose", T.StringType(), True),
+        T.StructField("amount_cents", T.LongType(), False),
+        T.StructField("balance_cents", T.LongType(), True),
+        T.StructField("transfer_category", T.StringType(), True),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("category_manual", T.StringType(), True),
+        T.StructField("fingerprint", T.StringType(), False),
+        T.StructField("imported_at", T.TimestampType(), True),
+    ]
+)
+
+
+def with_fingerprint(df: DataFrame) -> DataFrame:
+    """Attach the natural-key SHA-256 (expects amount_cents present)."""
+    return df.withColumn("fingerprint", fingerprint())
+
+
+def merge_import(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Append a parsed batch to the working set, existing row winning on
+    natural-key collision, then canonical sort. Mirrors concat +
+    drop_duplicates(subset=natural_key) + sort_values — but deterministic:
+    a window with an explicit priority picks the survivor, because Spark's
+    dropDuplicates keeps an arbitrary row.
+    """
+    tagged = existing.withColumn("_prio", F.lit(0)).unionByName(
+        incoming.withColumn("_prio", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(*NATURAL_KEY).orderBy("_prio")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def assign_ids(df: DataFrame, next_id: int = 1) -> DataFrame:
+    """Sequential transaction_id in canonical order, starting at next_id.
+
+    Two-phase: number rows within each partition, then add broadcast
+    per-partition offsets — one extra tiny shuffle-free pass instead of a
+    single-partition global window. Ordering across partitions comes from
+    repartitionByRange on the canonical sort key.
+    """
+    ranged = df.repartitionByRange(*CANONICAL_ORDER)
+    part_w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc_nulls_first() for c in CANONICAL_ORDER])
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").count()
+    offsets = (
+        counts.withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("count").over(Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        ).select("_pid", "_offset")
+    )
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(part_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("transaction_id", (F.col("_rn") + F.col("_offset") + F.lit(next_id - 1)).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
+def prepare_for_store(df: DataFrame, next_id: int = 1) -> DataFrame:
+    """Working-set frame (euro floats) → storage frame: cents encode,
+    fingerprint, id assignment, canonical column set."""
+    out = df.withColumn("amount_cents", to_cents("amount")).withColumn(
+        "balance_cents", to_cents("balance")
+    )
+    out = with_fingerprint(out)
+    out = assign_ids(out, next_id=next_id)
+    cols = [f.name for f in TRANSACTIONS_SCHEMA.fields if f.name != "imported_at"]
+    for c in ("transfer_category", "category", "category_manual"):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+    return out.select(*cols).withColumn("imported_at", F.current_timestamp())
+
+
+def upsert(store: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fingerprint-keyed MERGE semantics on plain DataFrames: matched rows
+    take the batch's derived fields (categories, balance) but KEEP the
+    store's transaction_id and imported_at; unmatched rows insert whole.
+
+    Equivalent to the reference's ON CONFLICT (fingerprint) DO UPDATE.
+    An equi-join on a sha2 key distributes evenly (no skew by construction).
+    """
+    updated_cols = ["transfer_category", "category", "category_manual", "balance_cents"]
+    b_flagged = batch.select(
+        "fingerprint", *[F.col(c).alias(f"_new_{c}") for c in updated_cols]
+    ).withColumn("_has_match", F.lit(True))
+    joined = store.join(b_flagged, "fingerprint", "left")
+    # ON CONFLICT DO UPDATE overwrites with EXCLUDED values even when NULL,
+    # so gate on the match flag, not coalesce.
+    kept = [
+        (
+            F.when(F.col("_has_match"), F.col(f"_new_{c}")).otherwise(F.col(c)).alias(c)
+            if c in updated_cols
+            else F.col(c)
+        )
+        for c in store.columns
+    ]
+    updated_store = joined.select(*kept)
+    inserts = batch.join(store.select("fingerprint"), "fingerprint", "left_anti")
+    return updated_store.unionByName(inserts.select(*store.columns))
+
+
+def write_store(df: DataFrame, path: str, partition_by_year: bool = True) -> None:
+    """Persist the canonical table. Partitioned by year(book_date) so the
+    analysis queries (all year-filtered) get partition pruning; sorted
+    within partitions for stable output and better parquet RLE."""
+    out = df.withColumn("book_year", F.year("book_date"))
+    writer = out.sortWithinPartitions(*CANONICAL_ORDER).write.mode("overwrite")
+    if partition_by_year:
+        writer = writer.partitionBy("book_year")
+    writer.parquet(path)
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Load the canonical table as the analysis working set: euros derived
+    from cents, canonical order (lazy — order applied by consumers)."""
+    df = spark.read.parquet(path).drop("book_year")
+    return (
+        df.withColumn("amount", from_cents("amount_cents"))
+        .withColumn("balance", from_cents("balance_cents"))
+        .drop("amount_cents", "balance_cents")
+    )
+
+
+def next_transaction_id(store: DataFrame) -> int:
+    """COALESCE(MAX(transaction_id), 0) + 1."""
+    row = store.agg(F.coalesce(F.max("transaction_id"), F.lit(0)).alias("m")).collect()[0]
+    return int(row["m"]) + 1
