@@ -1,0 +1,39 @@
+"""Edge-case tests for composite operators (asof/range/latest-per-key)."""
+
+from __future__ import annotations
+
+from pandaspark.operators import asof_join, latest_per_key, range_join_bucketed
+
+
+def test_asof_join_colliding_names_ties_and_no_match(spark):
+    l = spark.createDataFrame([(1, 100), (1, 300), (2, 50)], "k int, t int")
+    r = spark.createDataFrame(
+        [(1, 200, "late"), (1, 100, "attime"), (1, 100, "attime2")], "k int, t int, v string"
+    )
+    out = sorted(
+        tuple(x)
+        for x in asof_join(l, r, "k", "k", left_time="t", right_time="t", tiebreak=["v"]).collect()
+    )
+    assert out == [
+        (1, 100, 1, 100, "attime2"),  # exact-time match allowed, tie → v desc
+        (1, 300, 1, 200, "late"),  # latest prior
+        (2, 50, None, None, None),  # left row without match survives (how=left)
+    ]
+
+
+def test_range_join_bucketed_hits_and_boundaries(spark):
+    pts = spark.createDataFrame([(1, 15), (2, 250), (3, 20), (4, 21)], "pid int, x int")
+    iv = spark.createDataFrame([(10, 20, "a"), (200, 300, "b")], "lo int, hi int, name string")
+    got = sorted(
+        (r.pid, r.name) for r in range_join_bucketed(pts, iv, "x", "lo", "hi", 50).collect()
+    )
+    # boundaries inclusive on both ends; 21 falls outside [10,20]
+    assert got == [(1, "a"), (2, "b"), (3, "a")]
+
+
+def test_latest_per_key_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 10, "y"), (2, 5, "z")], "k int, ver int, payload string"
+    )
+    got = {r.k: r.payload for r in latest_per_key(df, ["k"], ["ver", "payload"]).collect()}
+    assert got == {1: "y", 2: "z"}  # ties broken by the full order_by list
