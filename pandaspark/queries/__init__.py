@@ -89,6 +89,7 @@ def sql_cents_avg(expr: str, alias: str) -> str:
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import text  # noqa: E402,F401
+from . import text2  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 
 

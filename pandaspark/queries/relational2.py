@@ -175,3 +175,64 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# --- q47: lag/lead delta analysis -----------------------------------------
+# Per-user step deltas via lag() over (ts, event_id); totals through exact
+# integer micro-units. The window partitions on user_id — the same shuffle
+# key the per-user rollup needs, so the plan reuses one exchange.
+
+_Q47_ORACLE = """
+WITH v AS (
+  SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS vi,
+         lag(CAST(round(value * 1000000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pvi
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(pvi) AS BIGINT) AS n_steps,
+       CAST(sum(abs(vi - pvi)) AS BIGINT) / 1000000.0 AS total_abs_delta
+FROM v GROUP BY user_id
+"""
+
+
+@register("q47_lag_delta", _Q47_ORACLE, "per-user lag() step deltas, exact totals")
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 1000000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = e.select("user_id", vi.alias("vi"), F.lag(vi).over(w).alias("pvi"))
+    return v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("pvi").alias("n_steps"),
+        (F.sum(F.abs(F.col("vi") - F.col("pvi"))) / F.lit(1000000.0)).alias(
+            "total_abs_delta"
+        ),
+    )
+
+
+# --- q48: RANGE-frame sliding window (1h moving sum) ----------------------
+# Event-time range frame over epoch micros — peers with equal timestamps are
+# included in both engines by RANGE semantics, so results match exactly.
+
+_Q48_ORACLE = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+       AS mov_1h_sum
+FROM events WHERE user_id < 20
+"""
+
+
+@register("q48_range_frame", _Q48_ORACLE, "1-hour RANGE-frame moving sum per user")
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    mov = F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+    return e.select("user_id", "event_id", (mov / F.lit(100.0)).alias("mov_1h_sum"))

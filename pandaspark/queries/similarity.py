@@ -139,3 +139,90 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.countDistinct("label").alias("n_labels")
     )
+
+
+# --- q45: embedding-cosine near-duplicate pairs ---------------------------
+
+_NEAR_T = 0.35  # sf data has no planted dups; 0.35 catches the similarity tail
+
+_Q45_ORACLE = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine,
+         CAST(a.label = b.label AS BIGINT) AS same_label
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cosine >= {_NEAR_T}
+"""
+
+
+@register("q45_cosine_neardup", _Q45_ORACLE, "embedding-cosine near-dup pair mining")
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup mining. At test SF this is the exact
+    O(N^2) plan; the 100 TB path is the same expression run per LSH bucket
+    (q42's bucketing) so the pair space collapses to bucket-local — the
+    scoring/threshold logic here is unchanged by that composition."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        4,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+            (F.col("a.label") == F.col("b.label")).cast("long").alias("same_label"),
+        )
+        .filter(F.col("cosine") >= _NEAR_T)
+    )
+
+
+# --- q46: IVF-style ANN (centroid cells, 1 probe) — rows-only -------------
+
+
+@register("q46_ivf_ann", None, "IVF 1-probe ANN via label-centroid cells (rows-only)")
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN: coarse quantizer = per-label centroids (exact
+    element-wise avg, 64 built-in aggs — a stand-in for k-means on data
+    that ships labels); each query probes its nearest centroid's cell only,
+    then exact cosine top-k within the cell. At 100 TB the fact table is
+    pre-partitioned by cell id, so a 1-probe search touches 1/K of the data
+    with zero shuffle; q40 is the exact-recall baseline for comparison."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = 64
+    cents = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("embedding")[i]) for i in range(dims)]).alias("centroid")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qc = q.crossJoin(F.broadcast(cents.select(F.col("label").alias("cell"), "centroid")))
+    ccos = _dot(F.col("qe"), F.col("centroid")) / (
+        _norm(F.col("qe")) * _norm(F.col("centroid"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), "cell")
+    probe = (
+        qc.select("qid", "qe", "cell", ccos.alias("ccos"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select("qid", "qe", "cell")
+    )
+    cand = F.broadcast(probe).join(e, (F.col("label") == F.col("cell"))).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cosine = F.round(
+        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.select("qid", "cell", "vec_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _K)
+    )
