@@ -162,15 +162,38 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup mining. At test SF this is the exact
     O(N^2) plan; the 100 TB path is the same expression run per LSH bucket
     (q42's bucketing) so the pair space collapses to bucket-local — the
-    scoring/threshold logic here is unchanged by that composition."""
+    scoring/threshold logic here is unchanged by that composition.
+
+    Per-row work (double cast, norm) is hoisted out of the pair loop: each
+    side pre-projects its double array + norm once, so the O(N^2) stage is
+    a single 64-element fold per pair. The arithmetic tree per pair is
+    unchanged (dot / (na * nb)), so the oracle hash is identical."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cosine = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        4,
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prepped = e.select("vec_id", "label", ed.alias("ed")).select(
+        "vec_id",
+        "label",
+        "ed",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("ed"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
     )
+    # the scan is one small parquet file → one partition; spread the O(N^2)
+    # pair loop across the cluster (at real scale the fact side arrives
+    # pre-partitioned and this repartition is a no-op-sized shuffle)
+    par = spark.sparkContext.defaultParallelism
+    a = prepped.repartition(par, "vec_id").alias("a")
+    b = prepped.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -131,14 +131,19 @@ WHERE jaccard >= 0.12
 @register("q33_ngram_jaccard", _Q33_ORACLE, "3-gram shingle Jaccard similarity join (near-dup)")
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    t = _norm_text()
+    # materialize normalized text in its own projection FIRST: a lambda that
+    # captures the regexp-normalization expression would re-run the regex per
+    # shingle position (O(len) regex evals per doc) instead of once per doc
+    tc = F.col("t")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.length(t) - 2),
-            lambda i: F.substring(t, i, F.lit(3)),
+            F.sequence(F.lit(1), F.length(tc) - 2),
+            lambda i: F.substring(tc, i, F.lit(3)),
         )
     )
-    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    sh = d.select("doc_id", "lang", _norm_text().alias("t")).select(
+        "doc_id", "lang", shingles.alias("shingles")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
@@ -173,22 +178,41 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard oracle (q33) covers the semantics of near-dup detection.
     """
     d = load(spark, sf_dir, "documents")
-    t = _norm_text()
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
-            lambda i: F.substring(t, i, F.lit(3)),
-        )
+    # Normalized text goes into its own projection first (see q33: lambdas
+    # must capture a column ref, not the regex expression). No
+    # array_distinct on shingles: min() is insensitive to duplicates, so
+    # MinHash signatures are identical without the O(len^2) dedup pass.
+    tc = F.col("t")
+    raw_shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tc) - 2, F.lit(1))),
+        lambda i: F.substring(tc, i, F.lit(3)),
     )
-    def seeded_min(seed: int):
-        # factory keeps the transform lambda unary — a two-param lambda
-        # would be interpreted by Spark as (element, index)
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed))))
+    # One string hash per shingle, then 16 universal-hash permutations
+    # (a*h + b mod p) over the precomputed longs — the classic MinHash
+    # family. 16× cheaper than re-hashing the string per signature slot;
+    # pmod keeps h in [0, 2^31) so a*h + b stays < 2^63 (ANSI-safe).
+    p = (1 << 31) - 1
+    perms = [
+        ((2654435761 * (i + 1)) % p | 1, (40503 * (i + 7) * 2654435761) % p)
+        for i in range(_N_HASHES)
+    ]
+    base = F.transform(raw_shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
 
-    sig = F.array(*[seeded_min(i) for i in range(_N_HASHES)])
+    def perm_min(i: int):
+        a_c, b_c = perms[i]
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a_c) * h + F.lit(b_c)) % F.lit(p))
+        )
+
+    sig = F.array(*[perm_min(i) for i in range(_N_HASHES)])
     rows_per_band = _N_HASHES // _BANDS
-    banded = d.select(F.col("doc_id"), shingles.alias("shingles")).select(
-        "doc_id", sig.alias("sig")
+    # single-file scan → single partition; spread the per-doc shingle map
+    par = spark.sparkContext.defaultParallelism
+    banded = (
+        d.select("doc_id", _norm_text().alias("t"))
+        .repartition(par, "doc_id")
+        .select("doc_id", base.alias("hs"))
+        .select("doc_id", sig.alias("sig"))
     )
     bands = banded.select(
         "doc_id",
