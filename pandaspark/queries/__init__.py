@@ -88,6 +88,7 @@ def sql_cents_avg(expr: str, alias: str) -> str:
 # Import query modules for their registration side effects.
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import text2  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

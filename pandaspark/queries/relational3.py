@@ -1,0 +1,145 @@
+"""Third relational tranche: ranking-window suite, skew-salted aggregation,
+array/list aggregation, date arithmetic. Rounds out the Spark surface beyond
+the reference (SURVEY.md §2.5-2.8 'free in Spark' rows) with oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register, sql_cents_sum, cents_sum
+
+
+# --- q49: ranking windows (dense_rank / percent_rank / ntile / lead) -------
+
+_Q49_ORACLE = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(dense_rank() OVER w AS BIGINT) AS drk,
+         round(percent_rank() OVER w, 4) AS prk,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey))
+WHERE o_custkey < 200
+"""
+
+
+@register("q49_ranking_suite", _Q49_ORACLE, "dense_rank/percent_rank/ntile/lead windows")
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("price_cents").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", cents.alias("price_cents"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "price_cents",
+            F.dense_rank().over(w).cast("long").alias("drk"),
+            F.round(F.percent_rank().over(w), 4).alias("prk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+    )
+
+
+# --- q50: skew-salted two-phase aggregation ---------------------------------
+#
+# The scale pattern for skewed groupBy keys: pre-aggregate on (key, salt)
+# — fans a hot key across `_SALTS` reducers — then combine partials on the
+# key alone. Results are bit-identical to the naive plan because the partial
+# aggregates are exact integer cents. The oracle IS the naive plan, so this
+# query proves salting preserves semantics.
+
+_SALTS = 8
+
+_Q50_ORACLE = f"""
+SELECT l_returnflag AS flag,
+       {sql_cents_sum('l_extendedprice', 'revenue')},
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q50_salted_agg", _Q50_ORACLE, "skew-salted two-phase agg == naive agg")
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALTS))
+    partial = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            salt.alias("salt"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("flag", "salt")
+        .agg(F.sum("cents").alias("pc"), F.count(F.lit(1)).alias("pn"))
+    )
+    return partial.groupBy("flag").agg(
+        (F.sum("pc") / F.lit(100.0)).alias("revenue"),
+        F.sum("pn").alias("n"),
+    )
+
+
+# --- q51: array / list aggregation (collect_set + listagg) -----------------
+
+_Q51_ORACLE = """
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS status_csv,
+       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q51_grouped_arrays", _Q51_ORACLE, "sorted collect_set array + listagg string")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("status_csv"),
+        F.size(F.collect_set("l_linestatus")).cast("long").alias("n_statuses"),
+    )
+
+
+# --- q52: date arithmetic (trunc / datediff / add_months) -------------------
+
+_Q52_ORACLE = """
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+            AS BIGINT) AS sum_lead_days,
+       CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_lead_days,
+       CAST(count(*) FILTER (CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90)
+            AS BIGINT) AS n_slow
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+@register("q52_date_arithmetic", _Q52_ORACLE, "date_trunc/datediff/date_add over a join")
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    lead = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        j.select(
+            F.trunc("o_orderdate", "month").alias("order_month"),
+            lead.alias("lead_days"),
+            (F.col("l_shipdate") > F.date_add("o_orderdate", 90)).alias("slow"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lead_days").cast("long").alias("sum_lead_days"),
+            (
+                F.sum("lead_days").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_lead_days"),
+            F.count_if(F.col("slow")).alias("n_slow"),
+        )
+    )
