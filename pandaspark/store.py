@@ -171,3 +171,21 @@ def next_transaction_id(store: DataFrame) -> int:
     """COALESCE(MAX(transaction_id), 0) + 1."""
     row = store.agg(F.coalesce(F.max("transaction_id"), F.lit(0)).alias("m")).collect()[0]
     return int(row["m"]) + 1
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 8,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed table layout: co-locates join/agg keys at write time so
+    repeated joins on `keys` between tables bucketed the same way run with
+    NO shuffle exchange — the decisive layout optimization for a 100 TB
+    fact⋈fact join that would otherwise shuffle both sides every query.
+    Verified by tests/test_layout.py (plan contains no Exchange)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -32,10 +32,19 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """File-source stream over an events directory (new files = new data)."""
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events directory (new files = new data).
+    `max_files_per_trigger` paces micro-batches (tests use it to force
+    multi-batch runs; production uses it for ingestion back-pressure)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.format(fmt).schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
 
 
@@ -74,6 +83,54 @@ def session_windows(
         .select(
             "user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events"
         )
+    )
+
+
+STATEFUL_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_TOTALS_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, exact-cents total), emitted each micro-batch a
+    user appears in ("update" mode downstream).
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    windowed aggs can't express (custom accumulators, CEP-ish logic).
+    State is per-key and Arrow-batched, so at scale it shards across
+    executors by the groupBy key exactly like an agg shuffle; value totals
+    are integer cents (associative, exact), so re-partitioning or batch
+    boundaries can't change results.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        STATEFUL_TOTALS_SCHEMA,
+        _TOTALS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

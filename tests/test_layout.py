@@ -1,0 +1,89 @@
+"""Storage-layout gates: bucketed tables must join WITHOUT a shuffle, and
+the custom stateful streaming operator must agree with its batch oracle
+across micro-batch boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandaspark.queries import load
+from pandaspark.store import write_bucketed
+from pandaspark.streaming import read_event_stream, stateful_user_totals
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    yield "bucketdb"
+    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucket_db):
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, f"{bucket_db}.orders_b", ["o_orderkey"], 4, sort_by=["o_orderkey"])
+    write_bucketed(li, f"{bucket_db}.lineitem_b", ["l_orderkey"], 4, sort_by=["l_orderkey"])
+
+    ob = spark.table(f"{bucket_db}.orders_b")
+    lb = spark.table(f"{bucket_db}.lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed co-located join still shuffles"
+        assert "SortMergeJoin" in plan
+        # and it still returns the right rows
+        n = joined.count()
+        want = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+        assert n == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.fixture(scope="module")
+def paced_events_dir(tmp_path_factory, spark):
+    """Events split across several files so maxFilesPerTrigger=1 forces a
+    genuinely multi-micro-batch stream (state must carry across batches)."""
+    d = str(tmp_path_factory.mktemp("events_paced"))
+    load(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stateful_totals_match_batch_across_microbatches(spark, paced_events_dir):
+    stream = read_event_stream(spark, paced_events_dir, max_files_per_trigger=1)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_df = spark.sql("SELECT * FROM user_totals")
+    # "update" emits one row per user per micro-batch it appears in; the
+    # final state is the row with the highest n_events per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got_df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+
+    # batch oracle with the SAME per-element rounding (pandas round-half-even)
+    pdf = load(spark, SF_DIR, "events").select("user_id", "value").toPandas()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    by_user = pdf.groupby("user_id").agg(n=("cents", "size"), cents=("cents", "sum"))
+    want = {
+        int(uid): (int(row["n"]), row["cents"] / 100.0)
+        for uid, row in by_user.iterrows()
+    }
+    assert got == want and len(got) > 0
