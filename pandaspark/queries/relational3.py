@@ -107,6 +107,98 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q52: date arithmetic (trunc / datediff / add_months) -------------------
 
+# --- q53: shipping-priority revenue (TPC-H Q3 shape) -----------------------
+
+_Q53_ORACLE = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q53_shipping_priority", _Q53_ORACLE, "3-way join + agg + top-10 (TPC-H Q3 shape)")
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact ⋈ filtered-dim: the dim (customers of one segment) is
+    broadcast so only the orders⋈lineitem equi-join shuffles — and both
+    shuffle on orderkey, which AQE can coalesce. Top-10 is a deterministic
+    tie-broken TakeOrdered, never a global sort materialization."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg((F.sum(rev_cents) / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- q54: local-supplier volume (TPC-H Q5 shape) ---------------------------
+
+_Q54_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+@register("q54_local_supplier_volume", _Q54_ORACLE, "6-way join rollup (TPC-H Q5 shape)")
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join: every dimension chain (region→nation→customer,
+    supplier) broadcasts; only orders⋈lineitem shuffles. The
+    local-supplier condition (s_nationkey = c_nationkey) rides on the
+    broadcast supplier join as a second equi-key."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    cust = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_cents) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 _Q52_ORACLE = """
 SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
        CAST(count(*) AS BIGINT) AS n,
