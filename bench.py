@@ -29,12 +29,17 @@ def main() -> None:
     # query, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # two passes, min per query: the box shares CPU with other VMs, and
+    # min-of-N isolates query cost from noisy-neighbor interference
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(runs):
+        for name, spec in sorted(REGISTRY.items()):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -44,6 +49,8 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "runs_per_query": runs,
+                "aggregation": "min",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -76,6 +76,18 @@ def test_cascade_compiles_into_single_projection(spark):
     assert plan.index("partial_count") > plan.index("Exchange")
 
 
+def test_multijoin_broadcasts_all_dims(spark):
+    """TPC-H-shaped joins must broadcast every dimension chain: the only
+    allowed shuffle joins are fact⋈fact. A SortMergeJoin against a 5-row
+    region (or 25-row nation) would be a 100 TB disaster."""
+    for name in ("q53_shipping_priority", "q54_local_supplier_volume"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # dims joined via broadcast; the single orders⋈lineitem join may be
+        # SMJ or shuffled-hash, but never nested-loop/cartesian
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_agg_uses_partial_aggregation(spark):
     """groupBy must plan map-side partial agg (HashAggregate appears twice:
     partial then final) — the difference between shuffling raw rows and
