@@ -163,7 +163,16 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q34: MinHash near-dedup (LSH banding) — no SQL oracle ----------------
 
 _N_HASHES = 16
+# b bands × r rows tune the LSH S-curve: P(candidate | jaccard j) =
+# 1-(1-j^r)^b, threshold ≈ (1/b)^(1/r). 4×4 → t ≈ 0.71: near-identical
+# docs (j ≥ 0.9) are caught with P > 0.99 while the background mass of
+# same-language pairs (j ≤ 0.35 on 5-gram shingles) almost never collides,
+# keeping the bucket join's fanout tiny. 5-char shingles (not 3) are what
+# separate the regimes: 3-grams of same-language text share ~0.45 jaccard
+# baseline, drowning true near-dups. tests/test_layout.py asserts recall
+# and candidate-rate against exact-Jaccard ground truth.
 _BANDS = 4  # 4 rows per band
+_SHINGLE_K = 5
 
 
 @register("q34_minhash_lsh", None, "MinHash+LSH banding candidate pairs (rows-only check)")
@@ -184,8 +193,8 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash signatures are identical without the O(len^2) dedup pass.
     tc = F.col("t")
     raw_shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(tc) - 2, F.lit(1))),
-        lambda i: F.substring(tc, i, F.lit(3)),
+        F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
+        lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
     )
     # One string hash per shingle, then 16 universal-hash permutations
     # (a*h + b mod p) over the precomputed longs — the classic MinHash

@@ -45,6 +45,40 @@ def test_bucketed_join_has_no_shuffle(spark, bucket_db):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_minhash_lsh_recall_and_candidate_rate(spark, ddb):
+    """q34's MinHash-LSH must actually FIND the near-duplicates: ≥90%
+    recall on exact-Jaccard ≥ 0.9 pairs (5-gram shingles, same definition
+    as the operator), while keeping candidates < 2% of all pairs — the
+    property that makes LSH the 100 TB path instead of O(N²)."""
+    from pandaspark.queries import REGISTRY
+
+    truth = ddb.execute(
+        """
+        WITH sh AS (
+          SELECT doc_id, list_distinct(
+                   [substring(t, i, 5) FOR i IN range(1, length(t) - 3)]) AS s
+          FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE text IS NOT NULL)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+              / length(list_distinct(list_concat(a.s, b.s))) >= 0.9
+        """
+    ).fetchall()
+    true_pairs = {(a, b) for a, b in truth}
+    assert len(true_pairs) >= 5, "corpus should contain planted near-dups"
+
+    cand_rows = REGISTRY["q34_minhash_lsh"].fn(spark, SF_DIR).collect()
+    cand = {(r.doc_a, r.doc_b) for r in cand_rows}
+    n_docs = ddb.execute("SELECT count(*) FROM documents").fetchone()[0]
+    all_pairs = n_docs * (n_docs - 1) / 2
+
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on near-identical pairs"
+    assert len(cand) / all_pairs < 0.02, f"candidate flood: {len(cand)}/{all_pairs:.0f}"
+
+
 @pytest.fixture(scope="module")
 def paced_events_dir(tmp_path_factory, spark):
     """Events split across several files so maxFilesPerTrigger=1 forces a
