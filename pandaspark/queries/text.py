@@ -175,16 +175,13 @@ _BANDS = 4  # 4 rows per band
 _SHINGLE_K = 5
 
 
-@register("q34_minhash_lsh", None, "MinHash+LSH banding candidate pairs (rows-only check)")
-def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures from 3-gram shingles via xxhash64 with seed salts,
-    banded into LSH buckets; bucket-join yields candidate near-dup pairs.
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures from 5-gram shingles, banded into LSH buckets;
+    bucket-join yields candidate near-dup pairs (doc_a < doc_b).
 
     Pure built-in expressions (no MLlib model fit needed, no UDF): at 100 TB
     this is one map pass + a groupBy on (band, bucket-hash) whose fanout is
     bounded by band width — the canonical scalable near-dedup plan.
-    DuckDB has no xxhash64, so the driver does a rows-only check; the
-    Jaccard oracle (q33) covers the semantics of near-dup detection.
     """
     d = load(spark, sf_dir, "documents")
     # Normalized text goes into its own projection first (see q33: lambdas
@@ -250,4 +247,56 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@register("q34_minhash_lsh", None, "MinHash+LSH banding candidate pairs (rows-only check)")
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate stage alone (see minhash_candidates). DuckDB has no
+    xxhash64, so the driver does a rows-only check; recall/candidate-rate
+    are asserted against exact-Jaccard ground truth in tests/test_layout.py,
+    and q55 adds the exact-verify stage on top."""
+    return minhash_candidates(spark, sf_dir)
+
+
+@register("q55_dedup_pipeline", None, "LSH candidates → exact-Jaccard verify → drop list")
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dedup pipeline: LSH candidate pairs are VERIFIED
+    with exact 5-gram Jaccard, pairs ≥ 0.9 become (keep, drop) decisions
+    (keep = lower doc_id). At 100 TB the verify join touches only candidate
+    pairs (<2% of N²; see test_layout recall gate), so the pipeline's cost
+    is the LSH scan + a candidate-sized join — never all-pairs.
+
+    Deterministic end-to-end (fixed hash family, exact set Jaccard), but
+    not SQL-expressible in DuckDB (xxhash64) → rows-only driver check; the
+    verify arithmetic itself is oracle-covered by q33's exact-Jaccard.
+    """
+    cand = minhash_candidates(spark, sf_dir)
+    tc = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
+            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
+        )
+    )
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _norm_text().alias("t"))
+        .select("doc_id", shingles.alias("sh"))
+    )
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        pairs.select(
+            F.col("doc_a").alias("keep_doc"),
+            F.col("doc_b").alias("drop_doc"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
     )
