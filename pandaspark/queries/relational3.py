@@ -107,6 +107,35 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q52: date arithmetic (trunc / datediff / add_months) -------------------
 
+# --- q56: JSON column extraction -------------------------------------------
+
+_Q56_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_distinct_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q56_json_extract", _Q56_ORACLE, "JSON path extraction from string props + agg")
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: get_json_object stays JVM-side (Jackson
+    under codegen), so JSON parsing scales like any other string expression —
+    no Python, pushdown-friendly. At 100 TB prefer from_json with an explicit
+    schema once the shape is known; the path extractor is the schemaless entry."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 # --- q53: shipping-priority revenue (TPC-H Q3 shape) -----------------------
 
 _Q53_ORACLE = """

@@ -266,3 +266,37 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").cast("long").alias("min_fp"),
         F.array_max("fps").cast("long").alias("max_fp"),
     )
+
+
+# --- q57: edit-distance fuzzy matching ------------------------------------
+#
+# Levenshtein self-join: the fuzzy-key-matching primitive (entity
+# resolution / typo-tolerant dedup). Both engines implement the identical
+# unit-cost edit distance. The inequality self-join is quadratic by nature;
+# the scale path is the same blocking idea as LSH: join only within a
+# cheap blocking key (here: equal name length ±1 prefix class), which the
+# oracle mirrors exactly.
+
+_Q57_ORACLE = """
+SELECT a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b
+  ON substr(a.s_name, 1, 12) = substr(b.s_name, 1, 12) AND a.s_name < b.s_name
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@register("q57_fuzzy_match", _Q57_ORACLE, "levenshtein fuzzy self-join with blocking key")
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select("s_name")
+    a = s.select(F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_name").alias("name_b"))
+    blocked = a.join(
+        b,
+        (F.substring("name_a", 1, 12) == F.substring("name_b", 1, 12))
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    return blocked.select("name_a", "name_b", dist.alias("dist")).filter(
+        F.col("dist") <= 1
+    )
