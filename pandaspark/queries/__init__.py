@@ -50,6 +50,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the caller may hand us a default-config session (200 shuffle
+    # partitions); size shuffles to the machine — AQE coalesces further
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     if table == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses natively;
         # read the raw int64 nanos and truncate to micros (the data carries

@@ -264,3 +264,25 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("slow")).alias("n_slow"),
         )
     )
+
+
+# --- q58: sketch aggregates (HLL distinct + approx percentile) -------------
+
+
+@register("q58_sketch_aggs", None, "approx_count_distinct + approx_percentile (rows-only)")
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB answer when exactness isn't
+    required: HyperLogLog++ distinct counts and quantile sketches are
+    mergeable, so they aggregate in one pass with map-side partials and a
+    constant-size shuffle payload (vs count(DISTINCT)'s full re-shuffle of
+    the key column). Sketch internals differ per engine, so no value-level
+    DuckDB oracle; tests/test_layout.py bounds the error against the exact
+    answers (q24/q27 are the exact counterparts)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx(cents, 0.5, 10000).alias("approx_median_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -121,3 +121,21 @@ def test_stateful_totals_match_batch_across_microbatches(spark, paced_events_dir
         for uid, row in by_user.iterrows()
     }
     assert got == want and len(got) > 0
+
+
+def test_sketch_aggregates_error_bounds(spark):
+    """HLL distinct within 5% of exact; approx median within 1% of the
+    exact interpolated median's neighborhood (it returns a true element)."""
+    from pandaspark.queries import REGISTRY
+
+    rows = REGISTRY["q58_sketch_aggs"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1) < 0.05
+    exact = {
+        r.l_returnflag: r.median_price
+        for r in REGISTRY["q27_quantiles"].fn(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        med = exact[r.l_returnflag] * 100
+        assert abs(r.approx_median_cents - med) / max(med, 1) < 0.01, r
