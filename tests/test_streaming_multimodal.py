@@ -91,3 +91,54 @@ def test_real_decode_is_explicitly_stubbed(spark, media_dir):
     df = read_media_dir(spark, path)
     with pytest.raises(Exception, match="NotImplementedError|decode requires"):
         decode_media(df, deterministic_fake=False).collect()
+
+
+def test_watermark_drops_late_data_and_finalizes_windows(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark: a row arriving
+    after the watermark passed its window must be DROPPED, and a window is
+    emitted exactly once, when the watermark crosses its end."""
+    import datetime as dt
+
+    from pandaspark.streaming import EVENTS_SCHEMA, read_event_stream, windowed_counts
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts, 1, et, v, None) for i, (ts, et, v) in enumerate(rows)],
+            EVENTS_SCHEMA,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    t = lambda h, m: dt.datetime(2024, 3, 1, h, m)
+    # batch 1: one event in the 10:00 window, one at 11:40 (advances
+    # watermark to 11:10 > 11:00 → the 10:00 window becomes finalizable)
+    write_file("f1", [(t(10, 5), "click", 1.0), (t(11, 40), "click", 1.0)])
+
+    stream = read_event_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    agg = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-finalized 10:00 window (must
+        # be dropped) plus a fresh row to trigger emission
+        write_file("f2", [(t(10, 20), "click", 99.0), (t(12, 30), "click", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.bucket: (r.event_type, r.n, r.total_value) for r in spark.sql(
+        "SELECT * FROM wm_test").collect()}
+    # the 10:00 window was emitted with ONLY the on-time event — the late
+    # 99.0-value row did not leak in. The 11:00 window finalized via the
+    # no-data batch after the watermark advanced past 12:00. The 12:00
+    # window (12:30 event) is still open → absent from the append sink.
+    assert rows == {t(10, 0): ("click", 1, 1.0), t(11, 0): ("click", 1, 1.0)}
