@@ -116,6 +116,53 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     return df.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 64, deterministic_fake: bool = False) -> DataFrame:
+    """Media → embedding column, Arrow-batched (mapInPandas). The model
+    forward pass is STUBBED like decode: the fake path derives a stable
+    unit-norm vector from the content hash, producing the same
+    `array<float>` shape as the `embeddings` table so downstream similarity
+    ops (cosine top-k, LSH ANN, near-dup) compose unchanged.
+
+    Scale: embedding extraction is embarrassingly parallel over files; the
+    binary column never leaves the task, only `dim` floats shuffle."""
+
+    def _embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "feature extraction requires a vision/audio model; pass "
+                    "deterministic_fake=True for the plumbing path"
+                )
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                h = hashlib.sha256(content).digest()
+                raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+                vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+                vec = vec / np.linalg.norm(vec)
+                out.append(
+                    {
+                        "path": row["path"],
+                        "kind": row["kind"],
+                        "embedding": vec.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(_embed_batch, FEATURES_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_nth: int = 8) -> DataFrame:
     """Frame-sampling plan for video rows: explodes sampled frame indices
     (decode stubbed; index arithmetic is the real, tested part)."""

@@ -139,3 +139,36 @@ def test_sketch_aggregates_error_bounds(spark):
     for r in rows:
         med = exact[r.l_returnflag] * 100
         assert abs(r.approx_median_cents - med) / max(med, 1) < 0.01, r
+
+
+def test_year_partitioned_store_prunes_partitions(spark, tmp_path):
+    """write_store partitions by year(book_date); a year-filtered read must
+    show partition pruning in the scan (the reference's analysis queries
+    are all year-scoped — at 100 TB this is the difference between reading
+    one year and reading the whole table)."""
+    import datetime as dt
+
+    from pandaspark.store import write_store
+
+    rows = [
+        (i, "giro", dt.date(2023 + (i % 3), 1 + (i % 12), 5), dt.date(2023 + (i % 3), 1 + (i % 12), 6),
+         f"p{i}", "bt", "zweck", (i + 1) * 100, None, None, None, None, f"fp{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "transaction_id long, account string, book_date date, valuta_date date,"
+        " party string, book_text string, purpose string, amount_cents long,"
+        " balance_cents long, transfer_category string, category string,"
+        " category_manual string, fingerprint string",
+    )
+    path = str(tmp_path / "store")
+    write_store(df, path)
+    got = spark.read.parquet(path).filter(F.col("book_year") == 2024)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet"):]
+    pf = [l for l in scan.splitlines() if "PartitionFilters" in l][0]
+    assert "book_year" in pf, pf
+    assert got.count() == sum(1 for r in rows if r[2].year == 2024) > 0

@@ -142,3 +142,30 @@ def test_watermark_drops_late_data_and_finalizes_windows(spark, tmp_path):
     # no-data batch after the watermark advanced past 12:00. The 12:00
     # window (12:30 event) is still open → absent from the append sink.
     assert rows == {t(10, 0): ("click", 1, 1.0), t(11, 0): ("click", 1, 1.0)}
+
+
+def test_feature_extract_composes_with_similarity(spark, media_dir):
+    """Fake-embedding extraction yields the same array<float> shape as the
+    embeddings table; cosine top-k over the extracted vectors runs
+    unchanged (decode → features → similarity composition)."""
+    import numpy as np
+
+    from pandaspark.multimodal import extract_features
+    from pandaspark.vectorops import cosine_topk_arrow
+
+    path, files = media_dir
+    df = read_media_dir(spark, path)
+    feats = extract_features(df, dim=64, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == len(files)
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        assert v.shape == (64,) and abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    base = feats.selectExpr("abs(hash(path)) as vec_id", "embedding")
+    q0 = base.collect()[0]
+    top = cosine_topk_arrow(base, [(int(q0.vec_id), list(q0.embedding))], k=2).collect()
+    assert len(top) == 2 and all(r.qid == q0.vec_id for r in top)
+
+    with pytest.raises(Exception, match="NotImplementedError|requires"):
+        extract_features(df).collect()
