@@ -286,3 +286,41 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(cents, 0.5, 10000).alias("approx_median_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- q60: array higher-order functions over grouped data --------------------
+
+_Q60_ORACLE = """
+WITH g AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS BIGINT) AS n_items,
+       CAST(coalesce(list_sum(list_filter(qtys, x -> x > 25)), 0) AS BIGINT) AS big_qty_sum,
+       CAST(list_has_any(qtys, [50]) AS BIGINT) AS has_50,
+       qtys
+FROM g WHERE l_orderkey < 1000
+"""
+
+
+@register("q60_array_hof", _Q60_ORACLE, "collect → sort_array → filter/aggregate HOFs")
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data processing: group rows into arrays, then transform with
+    higher-order functions WITHOUT re-exploding — at scale this keeps the
+    per-key work inside one task, no second shuffle. l_quantity is integral
+    in TPC-H data, so BIGINT casts are exact in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
+    )
+    big_sum = F.aggregate(
+        F.filter("qtys", lambda x: x > 25), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        big_sum.alias("big_qty_sum"),
+        F.array_contains("qtys", F.lit(50).cast("long")).cast("long").alias("has_50"),
+        "qtys",
+    )

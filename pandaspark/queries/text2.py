@@ -300,3 +300,38 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked.select("name_a", "name_b", dist.alias("dist")).filter(
         F.col("dist") <= 1
     )
+
+
+# --- q59: word count (explode / flatMap shape) -----------------------------
+
+_Q59_ORACLE = """
+SELECT lang, word, n FROM (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rk
+  FROM (
+    SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents WHERE text IS NOT NULL)
+  WHERE word != ''
+  GROUP BY lang, word)
+WHERE rk <= 20
+"""
+
+
+@register("q59_wordcount", _Q59_ORACLE, "explode → count → top-20 words per lang")
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical flatMap-groupBy: explode words, hash-aggregate counts
+    (map-side partials carry (lang, word, partial_n) — never raw text), then
+    a per-lang top-k window on the already-tiny aggregate."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "lang", F.explode(F.split(_norm_text(), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "word", "n")
+    )
