@@ -173,6 +173,43 @@ def next_transaction_id(store: DataFrame) -> int:
     return int(row["m"]) + 1
 
 
+def backup_json(df: DataFrame, path: str) -> None:
+    """Row-oriented, human-diffable backup — the S8 YAML sink re-expressed
+    (migrate.py:14-36 semantics): dates ISO-formatted, canonical row order,
+    JSON-lines instead of YAML (streamable, splittable, schema-stable).
+    Single file for diffability at personal scale; drop coalesce(1) for
+    cluster-scale backups."""
+    out = df
+    for c, t in df.dtypes:
+        if t == "date":
+            out = out.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd"))
+        elif t.startswith("timestamp"):
+            out = out.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    out.sort(*[c for c in CANONICAL_ORDER if c in df.columns]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def restore_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S9 inverse: JSON-lines backup → typed frame. The explicit schema
+    re-parses ISO date strings (never inferSchema on money columns)."""
+    raw = spark.read.json(path)
+    cols = []
+    for field in schema.fields:
+        if field.name not in raw.columns:
+            # JSON-lines omit null fields; an all-null column vanishes
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            continue
+        c = F.col(field.name)
+        if field.dataType.typeName() == "date":
+            cols.append(F.to_date(c, "yyyy-MM-dd").alias(field.name))
+        elif field.dataType.typeName().startswith("timestamp"):
+            cols.append(F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(field.name))
+        else:
+            cols.append(c.cast(field.dataType).alias(field.name))
+    return raw.select(*cols)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

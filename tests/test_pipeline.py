@@ -259,3 +259,37 @@ def test_analytics_against_duckdb(spark, csv_dir):
     assert ov["einkaufen"][0] == -54.30 and ov["einkaufen"][1] == -54.30
     assert ov["einkaufen"][3] == -108.60
     assert ov["wohnen::manual"][3] == -80.00
+
+
+def test_json_backup_roundtrip(spark, csv_dir, tmp_path):
+    """S8/S9: JSON-lines backup with ISO dates restores to an identical
+    typed frame (order-insensitive row-set equality, exact cents)."""
+    from pandaspark.store import backup_json, restore_json
+
+    raw = read_ing_csv(spark, csv_dir, account_map=ACCOUNT_MAP)
+    stored = prepare_for_store(apply_cascade(merge_import(raw.limit(0), raw), RULES))
+    path = str(tmp_path / "backup_json")
+    backup_json(stored, path)
+
+    restored = restore_json(spark, path, stored.schema)
+    # same names and types (nullability is legitimately loosened by the
+    # text round-trip)
+    assert [(f.name, f.dataType) for f in restored.schema.fields] == [
+        (f.name, f.dataType) for f in stored.schema.fields
+    ]
+    key = lambda r: (r["account"], str(r["book_date"]), r["fingerprint"])
+    # imported_at is current_timestamp(): re-evaluated per job on the lazy
+    # frame, so it can't be compared across two materializations
+    strip = lambda r: {k: v for k, v in r.items() if k != "imported_at"}
+    want = {key(r): strip(r) for r in (x.asDict() for x in stored.collect())}
+    got = {key(r): strip(r) for r in (x.asDict() for x in restored.collect())}
+    assert got == want and len(got) == 8
+    assert all(x.imported_at is not None for x in restored.collect())
+
+    # the backup is human-diffable JSON-lines with ISO dates
+    import glob as _g
+    import json as _j
+
+    part = _g.glob(f"{path}/part-*.json")[0]
+    first = _j.loads(open(part).read().splitlines()[0])
+    assert first["book_date"] == str(sorted(want)[0][1])
