@@ -280,11 +280,20 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers (q24/q27 are the exact counterparts)."""
     li = load(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    # NB: never mix count(DISTINCT) with sketch aggregates in ONE agg — the
+    # distinct rewrite (Expand) forces a SortAggregate, under which typed
+    # imperative buffers (HLL/KLL) serialize per row: 50-150x slower.
+    # Two hash aggregates + a 3-row join keep both sides ObjectHashAggregate.
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.03).alias("approx_orders"),
         F.percentile_approx(cents, 0.5, 10000).alias("approx_median_cents"),
         F.count(F.lit(1)).alias("n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return sketches.join(exact, "l_returnflag").select(
+        "l_returnflag", "approx_orders", "exact_orders", "approx_median_cents", "n"
     )
 
 
