@@ -97,6 +97,7 @@ from . import relational3  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import text2  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
