@@ -79,6 +79,23 @@ def cents_avg(c: Column | str, alias: str) -> Column:
     return (s / n / F.lit(100.0)).alias(alias)
 
 
+def round4(c: Column) -> Column:
+    """Cross-engine-exact 4-decimal rounding: floor(x*1e4 + 0.5)/1e4.
+
+    Library round() differs between engines on knife-edge doubles (Spark
+    HALF_UP on the exact binary value, DuckDB/numpy on other conventions —
+    observed diverging on real data: two docs at sf0.1 under q39). This
+    helper is three IEEE-exact ops both engines execute identically, so the
+    result is bit-identical by construction. Convention: half-up toward
+    +infinity (matters only for negative knife-edge values)."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+
+def sql_round4(expr: str) -> str:
+    """DuckDB mirror of round4 — same three IEEE ops."""
+    return f"floor(({expr}) * 10000 + 0.5) / 10000.0"
+
+
 def sql_cents_sum(expr: str, alias: str) -> str:
     return f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS {alias}"
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, sql_cents_sum, cents_sum
+from . import load, register, round4, sql_cents_sum, cents_sum
 
 
 # --- q49: ranking windows (dense_rank / percent_rank / ntile / lead) -------
@@ -18,7 +18,7 @@ SELECT * FROM (
   SELECT o_custkey, o_orderkey,
          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
          CAST(dense_rank() OVER w AS BIGINT) AS drk,
-         round(percent_rank() OVER w, 4) AS prk,
+         floor(percent_rank() OVER w * 10000 + 0.5) / 10000.0 AS prk,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
          CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order
   FROM orders
@@ -40,7 +40,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "price_cents",
             F.dense_rank().over(w).cast("long").alias("drk"),
-            F.round(F.percent_rank().over(w), 4).alias("prk"),
+            round4(F.percent_rank().over(w)).alias("prk"),
             F.ntile(4).over(w).cast("long").alias("quartile"),
             F.lead("o_orderkey").over(w).alias("next_order"),
         )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, round4
 
 _K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -38,13 +38,16 @@ def _norm(a):
 # --- q40: brute-force cosine top-k ----------------------------------------
 
 _Q40_ORACLE = f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
 c AS (
   SELECT qid, vec_id,
-         round(list_dot_product(qe, embedding)
-               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(embedding, embedding))), 4)
+         floor(list_dot_product(qe, embedding)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(embedding, embedding)))
+               * 10000 + 0.5) / 10000.0
          AS cosine
-  FROM q JOIN embeddings ON vec_id != qid
+  FROM q JOIN e ON vec_id != qid
 )
 SELECT qid, vec_id, cosine,
        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
@@ -60,9 +63,8 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     joined = F.broadcast(q).crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
-    cosine = F.round(
-        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
-        4,
+    cosine = round4(
+        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -146,63 +148,83 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_T = 0.35  # sf data has no planted dups; 0.35 catches the similarity tail
 
 _Q45_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
 SELECT * FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_dot_product(a.embedding, b.embedding)
+         floor(list_dot_product(a.embedding, b.embedding)
                / (sqrt(list_dot_product(a.embedding, a.embedding))
-                  * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine,
+                  * sqrt(list_dot_product(b.embedding, b.embedding)))
+               * 10000 + 0.5) / 10000.0 AS cosine,
          CAST(a.label = b.label AS BIGINT) AS same_label
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
 WHERE cosine >= {_NEAR_T}
 """
 
 
 @register("q45_cosine_neardup", _Q45_ORACLE, "embedding-cosine near-dup pair mining")
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup mining. At test SF this is the exact
-    O(N^2) plan; the 100 TB path is the same expression run per LSH bucket
-    (q42's bucketing) so the pair space collapses to bucket-local — the
-    scoring/threshold logic here is unchanged by that composition.
+    """All-pairs cosine near-dup mining, Arrow-vectorized (the dense-linalg
+    exception documented in pandaspark/vectorops.py): one side streams
+    through mapInPandas in Arrow batches, the other rides the task closure
+    as a numpy matrix (the same broadcast-small-side assumption as the
+    previous JVM join — 2000x64 doubles ~ 1 MB), and each batch scores an
+    (n_batch, N) block in a single matmul instead of N interpreted
+    64-element Catalyst folds per row (~5x wall at sf0.1). At 100 TB the
+    same kernel runs per LSH bucket (q42's bucketing), so the pair space —
+    and the closure matrix — collapse to bucket-local.
 
-    Per-row work (double cast, norm) is hoisted out of the pair loop: each
-    side pre-projects its double array + norm once, so the O(N^2) stage is
-    a single 64-element fold per pair. The arithmetic tree per pair is
-    unchanged (dot / (na * nb)), so the oracle hash is identical."""
+    Exactness: scores are round(dot/(na*nb), 4); numpy's pairwise summation
+    vs the oracle's sequential fold differ by <=1e-15 relative, which the
+    4-decimal rounding absorbs — hash-match asserted at sf0.001/0.01/0.1
+    by tests and the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     e = load(spark, sf_dir, "embeddings")
-    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    prepped = e.select("vec_id", "label", ed.alias("ed")).select(
-        "vec_id",
-        "label",
-        "ed",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("ed"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+    side = e.select("vec_id", "label", "embedding").collect()
+    vids = np.array([r.vec_id for r in side], dtype=np.int64)
+    labels = np.array([r.label for r in side])
+    bmat = np.array([r.embedding for r in side], dtype=np.float64)
+    bnorm = np.linalg.norm(bmat, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("same_label", T.LongType()),
+        ]
     )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_lab = pdf["label"].to_numpy()
+            amat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            anorm = np.linalg.norm(amat, axis=1)
+            # floor(x*1e4+0.5)/1e4 == the round4 convention (queries/__init__)
+            cos = np.floor((amat @ bmat.T) / np.outer(anorm, bnorm) * 1e4 + 0.5) / 1e4
+            ia, ib = np.nonzero((a_ids[:, None] < vids[None, :]) & (cos >= _NEAR_T))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ia],
+                    "vec_b": vids[ib],
+                    "cosine": cos[ia, ib],
+                    "same_label": (a_lab[ia] == labels[ib]).astype(np.int64),
+                }
+            )
+
     # the scan is one small parquet file → one partition; spread the O(N^2)
-    # pair loop across the cluster (at real scale the fact side arrives
+    # block scoring across the cluster (at real scale the fact side arrives
     # pre-partitioned and this repartition is a no-op-sized shuffle)
     par = spark.sparkContext.defaultParallelism
-    a = prepped.repartition(par, "vec_id").alias("a")
-    b = prepped.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine.alias("cosine"),
-            (F.col("a.label") == F.col("b.label")).cast("long").alias("same_label"),
-        )
-        .filter(F.col("cosine") >= _NEAR_T)
+        e.select("vec_id", "label", "embedding")
+        .repartition(par, "vec_id")
+        .mapInPandas(score_batches, out_schema)
     )
 
 
@@ -239,9 +261,8 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.broadcast(probe).join(e, (F.col("label") == F.col("cell"))).filter(
         F.col("vec_id") != F.col("qid")
     )
-    cosine = F.round(
-        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding"))),
-        4,
+    cosine = round4(
+        _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
     return (

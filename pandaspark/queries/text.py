@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, round4
 
 
 def _norm_text(c="text"):
@@ -120,8 +120,9 @@ WITH sh AS (
 )
 SELECT * FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / CAST(length(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4)
+         floor(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(length(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+               * 10000 + 0.5) / 10000.0
          AS jaccard
   FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
 WHERE jaccard >= 0.12
@@ -148,7 +149,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles"))))
-    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    jac = round4(inter.cast("double") / union.cast("double"))
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -291,7 +292,7 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_distinct(F.concat("sa", "sb")))
-    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    jac = round4(inter.cast("double") / union.cast("double"))
     return (
         pairs.select(
             F.col("doc_a").alias("keep_doc"),

@@ -54,7 +54,9 @@ def cosine_topk_arrow(
             bmat = np.array(list(pdf["embedding"]), dtype=np.float64)
             bnorm = np.linalg.norm(bmat, axis=1)
             # (n_q, n_b) score block in one matmul
-            cos = np.round((qmat @ bmat.T) / np.outer(qnorm, bnorm), 4)
+            # floor(x*1e4+0.5)/1e4 == the cross-engine round4 convention
+            # (pandaspark/queries/__init__.py) — keeps exact equality with q40
+            cos = np.floor((qmat @ bmat.T) / np.outer(qnorm, bnorm) * 1e4 + 0.5) / 1e4
             out_q, out_v, out_c = [], [], []
             for qi in range(len(qids)):
                 row = cos[qi]

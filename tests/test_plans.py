@@ -33,9 +33,14 @@ def formatted_plan(spark, name: str) -> str:
 def test_no_python_row_udfs_in_plan(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} ships rows through Python row UDFs"
-    # mapInPandas (ArrowEvalPython / MapInPandas) is allowed only for the
-    # explicitly-stubbed multimodal module, which is not in the registry
+    # Scalar Python UDFs (ArrowEvalPython) are never allowed. MapInPandas —
+    # Arrow-batched, vectorized — is allowed ONLY for the dense-linear-algebra
+    # exception (see pandaspark/vectorops.py docstring) and the stubbed
+    # multimodal module; everything else must stay JVM-side.
     assert "ArrowEvalPython" not in plan, f"{name} uses Python UDFs in the hot path"
+    _MAPINPANDAS_ALLOWED = {"q45_cosine_neardup"}
+    if name not in _MAPINPANDAS_ALLOWED:
+        assert "MapInPandas" not in plan, f"{name} uses mapInPandas outside the dense-linalg exception"
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
