@@ -333,3 +333,121 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("qtys", F.lit(50).cast("long")).cast("long").alias("has_50"),
         "qtys",
     )
+
+
+# --- q62: order-priority checking (TPC-H Q4 shape: EXISTS → semi join) ------
+#
+# Orders in one quarter that had at least one line shipped after the order
+# date, counted by priority. The correlated EXISTS compiles to a left-semi
+# join with a non-equi residual — the equi key (orderkey) still drives the
+# shuffle, so at 100 TB this is a plain co-partitioned semi join; no
+# broadcast needed on either side.
+
+_Q62_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q62_order_priority", _Q62_ORACLE, "EXISTS → left-semi join, count by priority (TPC-H Q4 shape)")
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --- q63: large-volume customers (TPC-H Q18 shape: HAVING subquery) ---------
+#
+# Orders whose total quantity exceeds a threshold, joined back to customer.
+# The aggregate→filter→join-back pattern: the heavy groupBy runs on
+# lineitem alone (shuffle on orderkey), the surviving keys are a tiny set
+# that then drives broadcast-able joins to orders/customer.
+
+_Q63_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 200
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q63_large_volume", _Q63_ORACLE, "agg-HAVING → join back to dims (TPC-H Q18 shape)")
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    # `big` survives as a tiny key set → broadcast it INTO the fact joins,
+    # so orders/customer are probed without a full shuffle of either
+    return (
+        F.broadcast(big)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+# --- q64: promo revenue share per month (TPC-H Q14 shape) -------------------
+#
+# Conditional-aggregate ratio: promo revenue / total revenue by ship month.
+# part is the dim side (broadcast); revenue is exact integer cents so the
+# final double division is the only float op — deterministic across engines.
+
+_Q64_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+         AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY ship_month
+"""
+
+
+@register("q64_promo_share", _Q64_ORACLE, "broadcast dim + conditional-agg ratio (TPC-H Q14 shape)")
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long")).alias("promo"),
+        rev.alias("rev"),
+    )
+    return j.groupBy("ship_month").agg(
+        F.sum("promo").alias("promo_cents"),
+        F.sum("rev").alias("total_cents"),
+        (F.sum("promo").cast("double") / F.sum("rev").cast("double")).alias("promo_share"),
+    )
