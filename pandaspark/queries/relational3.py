@@ -451,3 +451,41 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("total_cents"),
         (F.sum("promo").cast("double") / F.sum("rev").cast("double")).alias("promo_share"),
     )
+
+
+# --- q65: event-time interval join (stream-stream join's batch mirror) ------
+#
+# Pairs each click with the same user's views in the preceding 30 minutes —
+# the canonical enrich-with-recent-context join. This batch form is the
+# oracle-checked mirror of streaming.interval_join (a watermarked
+# stream-stream join); tests assert the two produce identical pairs across
+# micro-batch boundaries. The equi key (user_id) drives the shuffle; the
+# time bound is a join residual, so at 100 TB this plans exactly like any
+# co-partitioned fact⋈fact join.
+
+_Q65_ORACLE = """
+SELECT a.user_id AS user_id, a.event_id AS click_event, b.event_id AS view_event
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+"""
+
+
+@register("q65_interval_join", _Q65_ORACLE, "event-time interval join (batch mirror of stream-stream)")
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event"), F.col("ts").alias("click_ts")
+    )
+    b = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event"),
+        F.col("ts").alias("view_ts"),
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    ).select("user_id", "click_event", "view_event")

@@ -134,6 +134,44 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each `left_type` event pairs with the same
+    user's `right_type` events in the preceding `lookback` window.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions — the two requirements for Spark to know when a buffered
+    row can never match again and evict it, keeping state bounded on an
+    unbounded stream. Batch mirror: queries/relational3.py q65 (identical
+    pairs, oracle-checked); tests assert stream==batch across micro-batches.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select("user_id", F.col("event_id").alias("click_event"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    ).select("user_id", "click_event", "view_event")
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a bounded file-source stream to completion into an in-memory
     sink (test/dev harness; production uses parquet/kafka sinks)."""

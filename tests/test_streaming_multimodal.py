@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pandaspark.multimodal import decode_media, frame_sample, read_media_dir
 from pandaspark.queries import REGISTRY
 from pandaspark.streaming import (
+    interval_join,
     read_event_stream,
     run_to_memory,
     session_windows,
@@ -53,6 +54,18 @@ def test_session_windows_agree_with_batch_sessionization(spark, events_dir):
     )
     batch = {r.user_id: r.n_sessions for r in REGISTRY["q26_sessionize"].fn(spark, SF_DIR).collect()}
     assert {r.user_id: r.n_sessions for r in per_user} == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    # maxFilesPerTrigger=1 forces multi-micro-batch execution, so matching
+    # click/view rows arrive in DIFFERENT batches and must meet via join
+    # state — the actual stream-stream machinery under test
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    got = run_to_memory(interval_join(stream), "ss_join")
+    want = REGISTRY["q65_interval_join"].fn(spark, SF_DIR)
+    g = {(r.user_id, r.click_event, r.view_event) for r in got.collect()}
+    w = {(r.user_id, r.click_event, r.view_event) for r in want.collect()}
+    assert g == w and len(g) > 0
 
 
 @pytest.fixture()
