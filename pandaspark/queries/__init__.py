@@ -115,6 +115,7 @@ from . import text  # noqa: E402,F401
 from . import text2  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

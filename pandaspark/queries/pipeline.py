@@ -1,0 +1,162 @@
+"""Training-data pipeline operators (SURVEY.md §2.11 extensions): corpus
+vocabulary analysis, deterministic stratified sampling, embedding
+quantization. Each is the Spark-shaped version of a step every large-scale
+LLM-data pipeline runs between raw crawl and training shards.
+
+Cross-engine determinism notes: no float transcendentals (log-based TF-IDF
+is replaced by an exact integer cross-multiplication ratio test), sampling
+uses md5 — bit-identical hex in both engines — and quantization is
+IEEE-exact arithmetic on doubles (see queries/__init__ conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+from .text import _norm_text
+
+# --- q66: distinctive vocabulary per language (TF-IDF-shaped, exact) --------
+#
+# For each language: terms whose in-language relative document frequency is
+# more than 1.1x their global relative document frequency (the synthetic
+# corpus shares most vocabulary across languages — max observed ratio 1.6 —
+# so the threshold sits inside the real signal range), top-20 by in-lang
+# df. The ratio test runs as integer cross-multiplication
+# (in_df * global_docs * 10 > 11 * global_df * lang_docs) — the same signal
+# a log-idf ranking gives at this threshold, with zero float ops, so the
+# oracle hash can't drift on libm differences. Plan shape at 100 TB: one
+# explode → two hash aggregations (term-level stats are tiny) → broadcast
+# of per-lang doc counts.
+
+_Q66_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+), filtered AS (SELECT * FROM words WHERE term != '' AND length(term) >= 3),
+lang_docs AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_lang_docs
+              FROM documents WHERE text IS NOT NULL GROUP BY lang),
+total AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents WHERE text IS NOT NULL),
+lang_df AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS in_df
+            FROM filtered GROUP BY lang, term),
+global_df AS (SELECT term, CAST(count(*) AS BIGINT) AS g_df FROM filtered GROUP BY term)
+SELECT lang, term, in_df, g_df FROM (
+  SELECT l.lang, l.term, l.in_df, g.g_df,
+         row_number() OVER (PARTITION BY l.lang ORDER BY l.in_df DESC, l.term) AS rk
+  FROM lang_df l
+  JOIN global_df g USING (term)
+  JOIN lang_docs d ON d.lang = l.lang
+  CROSS JOIN total
+  WHERE l.in_df * total.n_docs * 10 > 11 * g.g_df * d.n_lang_docs)
+WHERE rk <= 20
+"""
+
+
+@register("q66_distinctive_terms", _Q66_ORACLE, "per-lang distinctive vocabulary (exact ratio test)")
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = (
+        d.select("doc_id", "lang", F.explode(F.split(_norm_text(), " ")).alias("term"))
+        .filter((F.col("term") != "") & (F.length("term") >= 3))
+        .distinct()  # document frequency: one count per (doc, term)
+    )
+    lang_df = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("in_df"))
+    global_df = words.groupBy("term").agg(F.count(F.lit(1)).alias("g_df"))
+    lang_docs = d.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_lang_docs"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        lang_df.join(global_df, "term")
+        .join(F.broadcast(lang_docs), "lang")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("in_df") * F.col("n_docs") * 10
+            > 11 * F.col("g_df") * F.col("n_lang_docs")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("in_df").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "term", "in_df", "g_df")
+    )
+
+
+# --- q67: deterministic stratified sampling ---------------------------------
+#
+# ~12.5% of documents per language, chosen by an md5 threshold on doc_id —
+# reproducible across engines, runs, partitionings, and cluster sizes
+# (unlike df.sample, whose output depends on partition layout). This is how
+# training-data pipelines carve held-out/eval slices that must stay stable
+# as the corpus recomputes. Map-only plan: no shuffle at all until the
+# per-lang audit aggregate.
+
+_SAMPLE_NUM = 8192  # threshold over the first 4 md5 nibbles (0..65535): 1/8
+
+_Q67_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang
+  FROM documents
+  WHERE text IS NOT NULL
+    AND (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+      < {_SAMPLE_NUM}
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+FROM s GROUP BY lang
+"""
+
+
+@register("q67_stratified_sample", _Q67_ORACLE, "deterministic md5-threshold sample, per-lang audit")
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    s = d.filter(bucket < _SAMPLE_NUM)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# --- q68: embedding int8 scalar quantization --------------------------------
+#
+# Per-vector absmax scalar quantization (the standard int8 compression for
+# ANN indexes and embedding shipping): scale = absmax/127, q_i =
+# floor(x_i/scale + 0.5) in [-127, 127] (+0.5-floor = the round4 convention
+# — library rounding differs between engines). Everything is IEEE-exact
+# double arithmetic, so the full quantized vector hash-matches the oracle.
+# Map-only at any scale; the only shuffle is the audit ordering.
+
+_Q68_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 200),
+m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS absmax FROM e)
+SELECT vec_id, absmax / 127.0 AS scale,
+       [CAST(floor(x / (absmax / 127.0) + 0.5) AS BIGINT) FOR x IN emb] AS qvec
+FROM m WHERE absmax > 0
+"""
+
+
+@register("q68_int8_quantize", _Q68_ORACLE, "absmax int8 embedding quantization (exact)")
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    m = e.select("vec_id", emb.alias("emb")).select(
+        "vec_id",
+        "emb",
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))).alias("absmax"),
+    )
+    scale = F.col("absmax") / 127.0
+    qvec = F.transform(F.col("emb"), lambda x: F.floor(x / (F.col("absmax") / 127.0) + 0.5))
+    return m.filter(F.col("absmax") > 0).select(
+        "vec_id", scale.alias("scale"), qvec.alias("qvec")
+    )

@@ -271,38 +271,50 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q57: edit-distance fuzzy matching ------------------------------------
+# --- q57: edit-distance fuzzy matching (SymSpell deletion neighborhood) ----
 #
-# Levenshtein self-join: the fuzzy-key-matching primitive (entity
-# resolution / typo-tolerant dedup). Both engines implement the identical
-# unit-cost edit distance. The inequality self-join is quadratic by nature;
-# the scale path is the same blocking idea as LSH: join only within a
-# cheap blocking key (here: equal name length ±1 prefix class), which the
-# oracle mirrors exactly.
+# All supplier-name pairs within levenshtein distance 1 — the fuzzy-key
+# primitive for entity resolution / typo-tolerant dedup. The ORACLE is the
+# quadratic definition; the Spark plan is the SymSpell idea (Garbe's
+# Symmetric Delete): any dist<=1 pair shares at least one single-deletion
+# variant, so candidates come from an equi-join on the O(n*L) variant set —
+# no O(n^2) pair space ever materializes, which is what survives 100x more
+# names. Variant collisions can reach dist 2 ('ab'/'ba' share 'a'), so a
+# final levenshtein verify keeps semantics exact.
 
 _Q57_ORACLE = """
 SELECT a.s_name AS name_a, b.s_name AS name_b,
        CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
-FROM supplier a JOIN supplier b
-  ON substr(a.s_name, 1, 12) = substr(b.s_name, 1, 12) AND a.s_name < b.s_name
+FROM supplier a JOIN supplier b ON a.s_name < b.s_name
 WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
-@register("q57_fuzzy_match", _Q57_ORACLE, "levenshtein fuzzy self-join with blocking key")
+@register("q57_fuzzy_match", _Q57_ORACLE, "dist<=1 fuzzy self-join via SymSpell delete variants")
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_name")
-    a = s.select(F.col("s_name").alias("name_a"))
-    b = s.select(F.col("s_name").alias("name_b"))
-    blocked = a.join(
-        b,
-        (F.substring("name_a", 1, 12) == F.substring("name_b", 1, 12))
-        & (F.col("name_a") < F.col("name_b")),
+    # variants = the name itself (catches pure insert/delete) + every
+    # single-character deletion; explode → (variant, name). Built with
+    # F.expr because substring with a per-element dynamic length needs the
+    # SQL form inside the lambda.
+    variants = F.array_union(
+        F.array(F.col("s_name")),
+        F.expr(
+            "transform(sequence(1, length(s_name)), "
+            "i -> concat(substring(s_name, 1, i - 1), substring(s_name, i + 1)))"
+        ),
+    )
+    v = s.select(F.col("s_name"), F.explode(variants).alias("variant"))
+    a = v.select(F.col("s_name").alias("name_a"), "variant")
+    b = v.select(F.col("s_name").alias("name_b"), "variant")
+    cand = (
+        a.join(b, ["variant"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
     )
     dist = F.levenshtein("name_a", "name_b").cast("long")
-    return blocked.select("name_a", "name_b", dist.alias("dist")).filter(
-        F.col("dist") <= 1
-    )
+    return cand.select("name_a", "name_b", dist.alias("dist")).filter(F.col("dist") <= 1)
 
 
 # --- q59: word count (explode / flatMap shape) -----------------------------
