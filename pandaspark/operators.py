@@ -81,3 +81,45 @@ def latest_per_key(
     The window shuffles once on the key — the minimal plan for this op."""
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_by])
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def two_phase_running_total(
+    df: DataFrame, order_cols: list[str], value: Column, alias: str = "running_total"
+) -> DataFrame:
+    """Globally-ordered cumulative sum WITHOUT a single-partition window —
+    the 100 TB form of SURVEY.md W1 (known-hard list §7.4 item 4).
+
+    Phase 1: repartitionByRange on the sort key gives range-ordered
+    partitions; a window partitioned by spark_partition_id computes each
+    partition's local cumsum in parallel. Phase 2: per-partition totals
+    (one tiny row per partition) get prefix-summed and broadcast back as
+    offsets. The only single-partition work is the offsets window over
+    n_partitions rows. `value` must be exact (integer cents) so that
+    partial sums + offsets equal the sequential total bit-for-bit;
+    tests/test_operators.py asserts exact equality with the naive global
+    window.
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part_w = Window.partitionBy("_pid").orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ranged.withColumn("_v", value).withColumn(
+        "_local_cum", F.sum("_v").over(part_w)
+    )
+    totals = local.groupBy("_pid").agg(F.sum("_v").alias("_part_total"))
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_part_total").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_v", "_local_cum", "_offset")
+    )

@@ -37,3 +37,33 @@ def test_latest_per_key_deterministic(spark):
     )
     got = {r.k: r.payload for r in latest_per_key(df, ["k"], ["ver", "payload"]).collect()}
     assert got == {1: "y", 2: "z"}  # ties broken by the full order_by list
+
+
+def test_two_phase_running_total_equals_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pandaspark.operators import two_phase_running_total
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    o = load(spark, SF_DIR, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    order_cols = ["o_orderdate", "o_orderkey"]
+
+    got = two_phase_running_total(o, order_cols, cents, alias="rt").select(
+        "o_orderkey", "rt"
+    )
+    naive_w = (
+        Window.orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = o.select("o_orderkey", F.sum(cents).over(naive_w).alias("rt"))
+    g = {r.o_orderkey: r.rt for r in got.collect()}
+    w = {r.o_orderkey: r.rt for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    # the scale property: no single-partition exchange of the FULL data —
+    # the only Exchange SinglePartition allowed is the tiny offsets branch
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
