@@ -311,22 +311,39 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q12: deterministic first-wins dedup (A8 J2) --------------------------
 
+# NB: the tie-break must be a TOTAL order within the dedup key — the data
+# contains groups tied on (l_linenumber, l_suppkey) alone, where "first"
+# would be engine-sort-stability luck; l_quantity completes the order.
 _Q12_ORACLE = """
 SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
 FROM lineitem
 QUALIFY row_number() OVER (
-  PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_suppkey) = 1
+  PARTITION BY l_orderkey, l_partkey
+  ORDER BY l_linenumber, l_suppkey, l_quantity) = 1
 """
 
 
-@register("q12_dedup_first_wins", _Q12_ORACLE, "existing-wins dedup via window (not dropDuplicates)")
+@register("q12_dedup_first_wins", _Q12_ORACLE, "existing-wins dedup via min_by (not dropDuplicates)")
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-wins dedup (the J2 'existing row wins' semantic —
+    never dropDuplicates, which keeps an arbitrary row). Executed as a
+    min_by hash aggregate rather than a row_number window: partial
+    aggregation means each map task ships ONE candidate row per key into
+    the shuffle instead of every row, and no per-group sort happens — the
+    shape that wins when dup rates are high at 100 TB. The oracle stays the
+    independent QUALIFY row_number definition; the tie-break struct is a
+    total order within the group, so both forms pick the same row."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber", "l_suppkey")
+    first = F.min_by(
+        F.struct("l_suppkey", "l_quantity"),
+        F.struct("l_linenumber", "l_suppkey", "l_quantity"),
+    ).alias("_w")
     return (
-        li.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(first)
+        .select(
+            "l_orderkey", "l_partkey", F.col("_w.l_suppkey"), F.col("_w.l_quantity")
+        )
     )
 
 
