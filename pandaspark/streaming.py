@@ -134,6 +134,21 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedup via the state store: the native form of
+    the reference's fingerprint upsert (SURVEY.md S6/J1) for in-flight data
+    — a re-delivered event (at-least-once source, retried file, replayed
+    partition) is dropped before it ever reaches a sink. The watermark
+    bounds dedup state: a key older than the watermark can be evicted
+    because the source can no longer legally re-deliver it. Batch mirror:
+    plain dropDuplicates on the same keys (exact for unique-keyed data);
+    asserted equal across micro-batch boundaries in tests."""
+    keyed = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keyed)
+
+
 def interval_join(
     events: DataFrame,
     left_type: str = "click",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pandaspark.multimodal import decode_media, frame_sample, read_media_dir
 from pandaspark.queries import REGISTRY
 from pandaspark.streaming import (
+    dedup_stream,
     interval_join,
     read_event_stream,
     run_to_memory,
@@ -54,6 +55,23 @@ def test_session_windows_agree_with_batch_sessionization(spark, events_dir):
     )
     batch = {r.user_id: r.n_sessions for r in REGISTRY["q26_sessionize"].fn(spark, SF_DIR).collect()}
     assert {r.user_id: r.n_sessions for r in per_user} == batch
+
+
+def test_dedup_stream_drops_redelivered_events(spark, events_dir, tmp_path):
+    # simulate at-least-once delivery: the same events parquet written twice
+    # into the watched dir as separate files, forced into separate
+    # micro-batches — every event is re-delivered and must be dropped by
+    # the state store, not by intra-batch distinct
+    from pandaspark.queries import load
+
+    d = str(tmp_path / "redelivered")
+    base = load(spark, SF_DIR, "events")
+    base.write.mode("overwrite").parquet(d)
+    base.write.mode("append").parquet(d)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    got = run_to_memory(dedup_stream(stream), "dedup_stream")
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
 
 
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
