@@ -141,7 +141,7 @@ _Q68_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 200),
 m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS absmax FROM e)
 SELECT vec_id, absmax / 127.0 AS scale,
-       [CAST(floor(x / (absmax / 127.0) + 0.5) AS BIGINT) FOR x IN emb] AS qvec
+       to_json([CAST(floor(x / (absmax / 127.0) + 0.5) AS BIGINT) FOR x IN emb]) AS qvec
 FROM m WHERE absmax > 0
 """
 
@@ -157,6 +157,8 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scale = F.col("absmax") / 127.0
     qvec = F.transform(F.col("emb"), lambda x: F.floor(x / (F.col("absmax") / 127.0) + 0.5))
+    # quantized vector ships JSON-serialized (identical compact form in both
+    # engines; top-level arrays break pandas-based result canonicalizers)
     return m.filter(F.col("absmax") > 0).select(
-        "vec_id", scale.alias("scale"), qvec.alias("qvec")
+        "vec_id", scale.alias("scale"), F.to_json(qvec).alias("qvec")
     )

@@ -88,7 +88,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q51_ORACLE = """
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       to_json(list_sort(list(DISTINCT l_linestatus))) AS statuses,
        string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS status_csv,
        CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
 FROM lineitem GROUP BY l_returnflag
@@ -97,9 +97,12 @@ FROM lineitem GROUP BY l_returnflag
 
 @register("q51_grouped_arrays", _Q51_ORACLE, "sorted collect_set array + listagg string")
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the array column ships JSON-serialized: both engines' to_json emit the
+    # identical compact form, and top-level arrays break pandas-based result
+    # canonicalizers (unhashable list)
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.to_json(F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
         F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("status_csv"),
         F.size(F.collect_set("l_linestatus")).cast("long").alias("n_statuses"),
     )
@@ -308,7 +311,7 @@ SELECT l_orderkey,
        CAST(len(qtys) AS BIGINT) AS n_items,
        CAST(coalesce(list_sum(list_filter(qtys, x -> x > 25)), 0) AS BIGINT) AS big_qty_sum,
        CAST(list_has_any(qtys, [50]) AS BIGINT) AS has_50,
-       qtys
+       to_json(qtys) AS qtys
 FROM g WHERE l_orderkey < 1000
 """
 
@@ -318,7 +321,9 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-data processing: group rows into arrays, then transform with
     higher-order functions WITHOUT re-exploding — at scale this keeps the
     per-key work inside one task, no second shuffle. l_quantity is integral
-    in TPC-H data, so BIGINT casts are exact in both engines."""
+    in TPC-H data, so BIGINT casts are exact in both engines. The raw array
+    ships JSON-serialized (identical compact form in both engines; top-level
+    arrays break pandas-based canonicalizers)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     g = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
@@ -331,7 +336,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("qtys").cast("long").alias("n_items"),
         big_sum.alias("big_qty_sum"),
         F.array_contains("qtys", F.lit(50).cast("long")).cast("long").alias("has_50"),
-        "qtys",
+        F.to_json("qtys").alias("qtys"),
     )
 
 
