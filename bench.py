@@ -71,38 +71,50 @@ def main() -> None:
         con.close()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    # The driver captures only a bounded tail of stdout, so the printed line
+    # must stay SHORT (<1500 chars): headline totals only. Per-query detail
+    # (Spark + DuckDB timings) goes to BENCH_DETAIL.json next to this file.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "runs_per_query": runs,
+        "aggregation": "min",
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "slowest5": slowest,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if duck:
+        summary["spark_total_common"] = round(sum(timings[n] for n in duck), 3)
+        summary["duckdb_total_common"] = round(sum(duck.values()), 3)
+        summary["n_common"] = len(duck)
+    with open(detail_path, "w") as f:
+        json.dump(
             {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "runs_per_query": runs,
-                "aggregation": "min",
+                **summary,
                 "queries": timings,
-                **(
-                    {
-                        "spark_total_common": round(
-                            sum(timings[n] for n in duck), 3
-                        ),
-                        "duckdb_total_common": round(sum(duck.values()), 3),
-                        "duckdb_queries": duck,
-                        "comparison_note": (
-                            "DuckDB = the reference's own SQL engine on identical parquet. "
-                            "At sf0.1 (~600k rows) Spark timings are dominated by a "
-                            "~0.3-0.5s/query job-scheduling floor that is constant in data "
-                            "size (amortizes to noise at cluster scale), while DuckDB has "
-                            "no such floor but also no scale-out path. Subtract the floor "
-                            "(54 queries) for the per-row throughput comparison."
-                        ),
-                    }
-                    if duck
-                    else {}
+                "duckdb_queries": duck,
+                "comparison_note": (
+                    "DuckDB = the reference's own SQL engine on identical parquet. "
+                    "At sf0.1 (~600k rows) Spark timings are dominated by a "
+                    "~0.3-0.5s/query job-scheduling floor that is constant in data "
+                    "size (amortizes to noise at cluster scale), while DuckDB has "
+                    "no such floor but also no scale-out path. Subtract the floor "
+                    "for the per-row throughput comparison."
                 ),
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+    # per-query timings under SHORT keys (q01..q68) keep the line parseable
+    # within the driver's bounded capture; full names live in the detail file
+    short = {n.split("_", 1)[0]: v for n, v in sorted(timings.items())}
+    line = json.dumps({**summary, "queries": short})
+    assert len(line) < 1900, f"bench summary line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 
