@@ -145,21 +145,127 @@ def upsert(store: DataFrame, batch: DataFrame) -> DataFrame:
     return updated_store.unionByName(inserts.select(*store.columns))
 
 
+# --- atomic versioned commit ------------------------------------------------
+#
+# The reference's store is a DuckDB file: every `INSERT ... ON CONFLICT`
+# commits atomically (panda.py:713-728) and a crashed import can't destroy
+# already-committed rows. Plain `mode("overwrite")` parquet has neither
+# property: a failure mid-overwrite leaves the ONLY copy of the store
+# half-deleted. The substitute here is a versioned snapshot layout:
+#
+#   <root>/v000001/  ... parquet snapshot (+ _SUCCESS commit marker)
+#   <root>/v000002/  ...
+#
+# A writer NEVER touches the live snapshot: it writes a fresh vN+1
+# directory and the job-commit `_SUCCESS` marker (written last by Spark's
+# FileOutputCommitter) IS the atomic commit point. Readers resolve
+# "current" = highest version whose `_SUCCESS` exists, so a crashed write
+# leaves an ignorable garbage directory, not a broken store. This is the
+# same marker protocol Spark/Hadoop use for job commit, works on any
+# Hadoop filesystem, and is what Delta/Iceberg formalize with a log —
+# they remain the drop-in upgrade behind this interface. Single-writer by
+# design (as is the reference's CLI); concurrent writers need the
+# Delta/Iceberg optimistic-commit path.
+
+_VERSION_WIDTH = 6
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _version_dirs(spark: SparkSession, root: str) -> dict[int, bool]:
+    """{version -> committed?} for every vNNNNNN child of root."""
+    fs, jvm = _hadoop_fs(spark, root)
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(root_path):
+        return {}
+    out: dict[int, bool] = {}
+    for st in fs.listStatus(root_path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            marker = jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_SUCCESS")
+            out[int(name[1:])] = bool(fs.exists(marker))
+    return out
+
+
+def latest_commit_path(spark: SparkSession, root: str) -> str | None:
+    """Path of the current (highest committed) snapshot, or None if the
+    store is empty. A plain parquet directory (legacy layout, no vN
+    children) resolves to itself."""
+    versions = _version_dirs(spark, root)
+    committed = [v for v, ok in versions.items() if ok]
+    if committed:
+        return f"{root}/v{max(committed):0{_VERSION_WIDTH}d}"
+    if versions:
+        return None  # only garbage (uncommitted) versions present
+    fs, jvm = _hadoop_fs(spark, root)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(root)):
+        return root
+    return None
+
+
+def commit_snapshot(
+    df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> str:
+    """Write df as the next snapshot version and return its path. The
+    write goes to a brand-new directory (never the live one), so failure
+    at any point leaves the previous snapshot untouched and readable."""
+    spark = df.sparkSession
+    versions = _version_dirs(spark, root)
+    nxt = max(versions, default=0) + 1
+    target = f"{root}/v{nxt:0{_VERSION_WIDTH}d}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target)
+    return target
+
+
+def gc_snapshots(spark: SparkSession, root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest `keep` committed snapshots plus any garbage
+    (uncommitted) versions older than the current one. Returns dropped
+    version numbers. Time-travel window = `keep`."""
+    versions = _version_dirs(spark, root)
+    committed = sorted(v for v, ok in versions.items() if ok)
+    if not committed:
+        return []
+    current = committed[-1]
+    keep_set = set(committed[-keep:])
+    fs, jvm = _hadoop_fs(spark, root)
+    dropped = []
+    for v, ok in sorted(versions.items()):
+        if v in keep_set or (not ok and v > current):
+            continue  # live window, or a write possibly in flight
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v{v:0{_VERSION_WIDTH}d}"), True)
+        dropped.append(v)
+    return dropped
+
+
 def write_store(df: DataFrame, path: str, partition_by_year: bool = True) -> None:
-    """Persist the canonical table. Partitioned by year(book_date) so the
-    analysis queries (all year-filtered) get partition pruning; sorted
-    within partitions for stable output and better parquet RLE."""
+    """Persist the canonical table as a new committed snapshot (atomic —
+    see the versioned-commit notes above). Partitioned by year(book_date)
+    so the analysis queries (all year-filtered) get partition pruning;
+    sorted within partitions for stable output and better parquet RLE."""
     out = df.withColumn("book_year", F.year("book_date"))
-    writer = out.sortWithinPartitions(*CANONICAL_ORDER).write.mode("overwrite")
-    if partition_by_year:
-        writer = writer.partitionBy("book_year")
-    writer.parquet(path)
+    out = out.sortWithinPartitions(*CANONICAL_ORDER)
+    commit_snapshot(out, path, partition_by=["book_year"] if partition_by_year else None)
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
     """Load the canonical table as the analysis working set: euros derived
-    from cents, canonical order (lazy — order applied by consumers)."""
-    df = spark.read.parquet(path).drop("book_year")
+    from cents, canonical order (lazy — order applied by consumers).
+    Resolves the current committed snapshot; legacy plain-parquet
+    directories read as-is."""
+    current = latest_commit_path(spark, path)
+    if current is None:
+        raise FileNotFoundError(f"no committed store snapshot under {path}")
+    df = spark.read.parquet(current)
+    if "book_year" in df.columns:
+        df = df.drop("book_year")
     return (
         df.withColumn("amount", from_cents("amount_cents"))
         .withColumn("balance", from_cents("balance_cents"))

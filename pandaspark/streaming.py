@@ -214,21 +214,27 @@ def stream_upsert_to_store(
     checkpoint: str,
 ):
     """foreachBatch exactly-once sink: every micro-batch runs the SAME
-    fingerprint-MERGE as the batch path (store.upsert), then atomically
-    rewrites the store. With Delta on the classpath this becomes MERGE INTO
-    without changing callers.
+    merge as the batch path (e.g. store.upsert) against the CURRENT store
+    snapshot and commits the result as a new snapshot via the versioned
+    atomic-commit protocol (store.commit_snapshot): batch N+1 reads batch
+    N's merge, and a crash mid-write leaves the previous snapshot intact.
+
+    Exactly-once: Spark may re-run a micro-batch after failure (same
+    epoch). The merge function must therefore be idempotent — fingerprint/
+    key-based upserts are (re-applying the same rows is a no-op) — which
+    is the same property the reference's ON CONFLICT upsert relies on
+    (panda.py:713-728). With Delta on the classpath this becomes MERGE
+    INTO without changing callers.
     """
+    from .store import commit_snapshot, gc_snapshots, latest_commit_path
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:
-            store = None
+        current = latest_commit_path(spark, store_path)
+        store = spark.read.parquet(current) if current is not None else None
         merged = batch_df if store is None else apply_batch(store, batch_df)
-        merged.write.mode("overwrite").parquet(store_path + "_next")
-        # atomic swap is filesystem-specific; parquet-dir rename stands in
-        # for a Delta/Iceberg transactional commit here
+        commit_snapshot(merged, store_path)
+        gc_snapshots(spark, store_path, keep=2)
 
     return (
         batch_stream.writeStream.foreachBatch(_apply)

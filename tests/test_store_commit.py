@@ -1,0 +1,159 @@
+"""Atomic versioned store commit (batch + streaming).
+
+The reference's DuckDB store commits atomically (panda.py:713-728: a
+crashed import can't destroy committed rows). These tests pin the parquet
+substitute: snapshot versioning with the `_SUCCESS` marker as the commit
+point, for both the batch `write_store` path and the streaming
+`stream_upsert_to_store` sink — including the lost-batch regression where
+micro-batch N+1 must observe micro-batch N's merge.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+from pyspark.sql import functions as F
+
+from pandaspark.queries import load
+from pandaspark.store import (
+    commit_snapshot,
+    gc_snapshots,
+    latest_commit_path,
+    read_store,
+    write_store,
+)
+from pandaspark.streaming import read_event_stream, stream_upsert_to_store
+
+from .conftest import SF_DIR
+
+
+def _touch_garbage_version(root: str, version: int, name: str = "part-junk") -> None:
+    """Simulate a crashed write: a version dir with data but NO _SUCCESS."""
+    d = pathlib.Path(root) / f"v{version:06d}"
+    d.mkdir(parents=True)
+    (d / name).write_bytes(b"partial write, job died before commit")
+
+
+def test_commit_snapshot_is_crash_safe(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df1 = spark.range(5).withColumn("x", F.col("id") * 2)
+    p1 = commit_snapshot(df1, root)
+    assert p1.endswith("v000001") and latest_commit_path(spark, root) == p1
+
+    # crashed writer: garbage v2 without _SUCCESS must be invisible to
+    # readers and must not block the next committer
+    _touch_garbage_version(root, 2)
+    assert latest_commit_path(spark, root) == p1
+    assert spark.read.parquet(latest_commit_path(spark, root)).count() == 5
+
+    p3 = commit_snapshot(df1.withColumn("x", F.col("x") + 1), root)
+    assert p3.endswith("v000003")  # skipped the garbage slot
+    assert latest_commit_path(spark, root) == p3
+
+
+def test_gc_keeps_live_window_and_drops_garbage(spark, tmp_path):
+    root = str(tmp_path / "store")
+    for i in range(4):
+        commit_snapshot(spark.range(i + 1), root)
+    # v1 becomes old garbage (commit marker lost), v5 is garbage NEWER than
+    # current (a write possibly in flight — GC must not touch it)
+    os.remove(f"{root}/v000001/_SUCCESS")
+    _touch_garbage_version(root, 5)
+
+    dropped = gc_snapshots(spark, root, keep=2)
+    assert set(dropped) == {1, 2}
+    assert os.path.isdir(f"{root}/v000005")
+    assert latest_commit_path(spark, root).endswith("v000004")
+    assert spark.read.parquet(latest_commit_path(spark, root)).count() == 4
+    # previous snapshot retained for time travel
+    assert spark.read.parquet(f"{root}/v000003").count() == 3
+
+
+def test_write_store_never_clobbers_previous_snapshot(spark, tmp_path):
+    root = str(tmp_path / "txstore")
+    base = load(spark, SF_DIR, "orders").limit(50)
+    df = base.select(
+        F.col("o_orderkey").alias("transaction_id"),
+        F.lit("giro").alias("account"),
+        F.col("o_orderdate").alias("book_date"),
+        F.col("o_orderdate").alias("valuta_date"),
+        F.col("o_orderpriority").alias("party"),
+        F.lit(None).cast("string").alias("book_text"),
+        F.col("o_orderstatus").alias("purpose"),
+        (F.col("o_totalprice") * 100).cast("long").alias("amount_cents"),
+        F.lit(None).cast("long").alias("balance_cents"),
+        F.lit(None).cast("string").alias("transfer_category"),
+        F.lit(None).cast("string").alias("category"),
+        F.lit(None).cast("string").alias("category_manual"),
+        F.sha2(F.col("o_orderkey").cast("string"), 256).alias("fingerprint"),
+        F.current_timestamp().alias("imported_at"),
+    )
+    write_store(df, root)
+    first = read_store(spark, root).count()
+    write_store(df.limit(20), root)
+    assert read_store(spark, root).count() == 20
+    # both snapshots exist on disk; the first is still fully readable
+    assert spark.read.parquet(f"{root}/v000001").count() == first == 50
+
+
+def test_read_store_legacy_plain_directory(spark, tmp_path):
+    """Stores written before versioning (plain parquet dir) still read."""
+    root = str(tmp_path / "legacy")
+    spark.range(7).select(
+        F.col("id").alias("transaction_id"),
+        (F.col("id") * 100).cast("long").alias("amount_cents"),
+        F.lit(None).cast("long").alias("balance_cents"),
+    ).write.parquet(root)
+    got = read_store(spark, root)
+    assert got.count() == 7 and "amount" in got.columns
+
+
+def test_stream_upsert_chains_micro_batches(spark, tmp_path):
+    """The lost-batch regression: with maxFilesPerTrigger=1 forcing one
+    micro-batch per file, every batch's merge must be visible to the next —
+    the final store must equal folding the same merge over the files in
+    batch mode. The old implementation wrote `store_path+'_next'` and never
+    swapped, so all but the last batch vanished."""
+    events = load(spark, SF_DIR, "events").limit(300).cache()
+    src = tmp_path / "src"
+    # three files: disjoint event slices, except file 3 RE-DELIVERS file 1's
+    # rows with value bumped — the merge must update, not duplicate
+    s1 = events.filter(F.col("event_id") % 3 == 0)
+    s2 = events.filter(F.col("event_id") % 3 == 1)
+    s3 = s1.withColumn("value", F.col("value") + 1000.0)
+    for i, s in enumerate((s1, s2, s3)):
+        s.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    def merge(store, batch):
+        # key-based upsert, batch wins — idempotent, same shape as
+        # store.upsert's fingerprint MERGE
+        return store.join(batch, "event_id", "left_anti").unionByName(batch)
+
+    root = str(tmp_path / "stream_store")
+    q = stream_upsert_to_store(
+        read_event_stream(spark, str(src) + "/f*", max_files_per_trigger=1),
+        root,
+        merge,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch-path fold over the same three files in order
+    want = None
+    for i in range(3):
+        b = spark.read.parquet(str(src / f"f{i}"))
+        want = b if want is None else merge(want, b)
+
+    got = spark.read.parquet(latest_commit_path(spark, root))
+    assert got.count() == want.count() == s1.count() + s2.count()
+    g = {r.event_id: r.value for r in got.collect()}
+    w = {r.event_id: r.value for r in want.collect()}
+    assert g == w
+    # re-delivered rows took the batch value (+1000), proving batch 3 saw
+    # batch 1's rows in the store it read
+    bumped = [v for v in g.values() if v >= 1000.0]
+    assert len(bumped) == s1.count()
