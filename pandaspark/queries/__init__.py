@@ -96,6 +96,29 @@ def sql_round4(expr: str) -> str:
     return f"floor(({expr}) * 10000 + 0.5) / 10000.0"
 
 
+def sha_int(c: Column | str) -> Column:
+    """Deterministic 48-bit integer hash: first 12 hex chars of sha256.
+
+    The engine-portable hash family for LSH/MinHash: xxhash64 has no DuckDB
+    mirror (which left the whole LSH family `no_oracle` forever), while
+    sha256 exists in both engines, so every hash-derived operator becomes
+    value-hash-checkable. 48 bits keeps downstream a*h+b arithmetic inside
+    BIGINT with no overflow divergence."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.sha2(c.cast("string"), 256), 1, 12), 16, 10).cast("long")
+
+
+def sql_sha_int(expr: str) -> str:
+    """DuckDB mirror of sha_int: parse sha256's 12-hex-char prefix via a
+    left-fold (DuckDB has no hex→int cast; list_reduce seeds with the first
+    element, so the fold is d0*16+d1 ... — exact positional value)."""
+    return (
+        "list_reduce([strpos('0123456789abcdef', "
+        f"substring(sha256({expr}), j, 1)) - 1 FOR j IN range(1, 13)], "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
 def sql_cents_sum(expr: str, alias: str) -> str:
     return f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS {alias}"
 

@@ -102,44 +102,84 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q42: LSH-bucketed ANN (random hyperplane signs) — rows-only ----------
+# --- q42: LSH-bucketed ANN (random hyperplane signs) ----------------------
 
 _N_PLANES = 8
+_DIMS = 64
 
 
-@register("q42_lsh_ann", None, "sign-LSH bucketed ANN candidates (rows-only check)")
+def _plane_component(i: int, p: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) for
+    (dim i, plane p), derived from sha256 — computed ONCE in Python and
+    inlined as literals in BOTH plans (Spark and the DuckDB oracle), so the
+    bucketing is engine-portable and costs zero per-row hash work (the old
+    form re-hashed 64x8 values per row inside an interpreted lambda)."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.sha256(f"{i}|{p}".encode()).digest()[:6], "big")
+    return (h % 10007) / 5003.5 - 1.0
+
+
+_PLANES = [[_plane_component(i, p) for i in range(_DIMS)] for p in range(_N_PLANES)]
+
+
+def _sign_bit_spark(p: int):
+    """One plane's bucket bit: a 64-term dot product against literal
+    components (strict left-to-right addition — the same IEEE op order as
+    the SQL mirror, so the sign agrees bit-for-bit). Built as ONE
+    F.expr(sql-string) call: composing 512 Column objects operator-by-
+    operator costs ~3000 py4j round-trips of DRIVER time per query build
+    (~4s — dwarfing the actual execution), while a generated SQL string is
+    a single call. The .25f literal format round-trips every double in
+    [-1,1) exactly, so both engines reconstruct bit-identical planes."""
+    dot = " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) * {_PLANES[p][i]:.25f}D" for i in range(_DIMS)
+    )
+    return F.expr(f"CASE WHEN ({dot}) >= 0.0 THEN {2 ** p} ELSE 0 END")
+
+
+def _sign_bucket_sql() -> str:
+    per_plane = []
+    for p in range(_N_PLANES):
+        dot = " + ".join(f"emb[{i + 1}] * {_PLANES[p][i]:.25f}" for i in range(_DIMS))
+        per_plane.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(per_plane)
+
+
+_Q42_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+FROM (SELECT vec_id, label, CAST({_sign_bucket_sql()} AS BIGINT) AS bucket FROM e)
+GROUP BY bucket
+"""
+
+
+@register("q42_lsh_ann", _Q42_ORACLE, "sign-LSH bucketed ANN candidates")
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-style bucketing: sign of dot(v, h_p) for deterministic
     pseudo-random hyperplanes → 8-bit bucket id; ANN search only compares
     vectors within a bucket. The 100 TB scale path for q40: the crossJoin
-    N×Q collapses to per-bucket joins.
-
-    Hyperplanes derive from xxhash64(dim, plane) — deterministic, no
-    driver-side randomness, no data shipped to Python.
+    N×Q collapses to per-bucket joins. Hyperplanes are literal constants
+    (see _plane_component), making the bucketing oracle-checkable.
     """
     e = load(spark, sf_dir, "embeddings")
-    # pseudo-random unit-ish hyperplane component for (dim i, plane p):
-    # map xxhash64 to [-1, 1) deterministically.
-    def plane_component(i_col, p: int):
-        h = F.xxhash64(i_col, F.lit(p))
-        return (h % 10007).cast("double") / F.lit(5003.5) - F.lit(1.0)
-
-    def bucket_bit(p: int):
-        prod = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: plane_component(i, p)),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # one column per plane bit, combined AFTER the aggregate: the bits are
+    # bit-disjoint so grouping on them == grouping on the bucket, and the
+    # HashAggregate boundary stops CollapseProject from re-fusing the eight
+    # expressions into one un-codegen-able 512-term projection
+    bits = [_sign_bit_spark(p).alias(f"_b{p}") for p in range(_N_PLANES)]
+    buckets = e.select("label", *bits)
+    bit_cols = [f"_b{p}" for p in range(_N_PLANES)]
+    return (
+        buckets.groupBy(*bit_cols)
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.countDistinct("label").alias("n_labels"))
+        .select(
+            sum([F.col(c) for c in bit_cols], F.lit(0)).cast("long").alias("bucket"),
+            "n_vectors",
+            "n_labels",
         )
-        return F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
-
-    bucket = sum([bucket_bit(p) for p in range(_N_PLANES)], F.lit(0))
-    buckets = e.select("vec_id", "label", bucket.alias("bucket"))
-    return buckets.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_vectors"), F.countDistinct("label").alias("n_labels")
     )
 
 
@@ -161,32 +201,52 @@ WHERE cosine >= {_NEAR_T}
 """
 
 
+_N_BLOCKS = 8
+
+
 @register("q45_cosine_neardup", _Q45_ORACLE, "embedding-cosine near-dup pair mining")
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup mining, Arrow-vectorized (the dense-linalg
-    exception documented in pandaspark/vectorops.py): one side streams
-    through mapInPandas in Arrow batches, the other rides the task closure
-    as a numpy matrix (the same broadcast-small-side assumption as the
-    previous JVM join — 2000x64 doubles ~ 1 MB), and each batch scores an
-    (n_batch, N) block in a single matmul instead of N interpreted
-    64-element Catalyst folds per row (~5x wall at sf0.1). At 100 TB the
-    same kernel runs per LSH bucket (q42's bucketing), so the pair space —
-    and the closure matrix — collapse to bucket-local.
+    """All-pairs cosine near-dup mining as a BLOCK-PARTITIONED join: rows
+    hash into _N_BLOCKS blocks by vec_id; every unordered block pair (i,j)
+    becomes one applyInPandas group whose kernel scores the (|i|,|j|)
+    sub-matrix in a single numpy matmul (the dense-linalg exception
+    documented in pandaspark/vectorops.py). Nothing touches the driver and
+    no task holds more than two blocks — replication factor is _N_BLOCKS
+    (≈2·sqrt(tasks)), the standard distributed exact all-pairs layout, so
+    the operator scales out instead of OOMing the driver (the previous
+    form collect()ed the whole table into the task closure). For
+    high-threshold near-dup at 100 TB, q42's LSH buckets replace the
+    all-pairs block grid entirely.
 
-    Exactness: scores are round(dot/(na*nb), 4); numpy's pairwise summation
-    vs the oracle's sequential fold differ by <=1e-15 relative, which the
-    4-decimal rounding absorbs — hash-match asserted at sf0.001/0.01/0.1
-    by tests and the driver."""
+    Exactness: scores are floor(dot/(na·nb)·1e4+0.5)/1e4; numpy's pairwise
+    summation vs the oracle's sequential fold differ by ≤1e-15 relative,
+    which the 4-decimal rounding absorbs — hash-match asserted at
+    sf0.001/0.01/0.1 by tests and the driver."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    e = load(spark, sf_dir, "embeddings")
-    side = e.select("vec_id", "label", "embedding").collect()
-    vids = np.array([r.vec_id for r in side], dtype=np.int64)
-    labels = np.array([r.label for r in side])
-    bmat = np.array([r.embedding for r in side], dtype=np.float64)
-    bnorm = np.linalg.norm(bmat, axis=1)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    block_pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+            for i in range(_N_BLOCKS)
+            for j in range(i, _N_BLOCKS)
+        ]
+    )
+    rep = (
+        e.withColumn("blk", F.pmod("vec_id", F.lit(_N_BLOCKS)).cast("int"))
+        .withColumn(
+            "bp",
+            F.explode(
+                F.filter(
+                    block_pairs,
+                    lambda s: (s["bi"] == F.col("blk")) | (s["bj"] == F.col("blk")),
+                )
+            ),
+        )
+        .select("vec_id", "label", "embedding", "blk", "bp.bi", "bp.bj")
+    )
 
     out_schema = T.StructType(
         [
@@ -196,60 +256,115 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("same_label", T.LongType()),
         ]
     )
+    empty = pd.DataFrame(
+        {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+            "same_label": np.array([], dtype=np.int64),
+        }
+    )
 
-    def score_batches(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_lab = pdf["label"].to_numpy()
-            amat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            anorm = np.linalg.norm(amat, axis=1)
-            # floor(x*1e4+0.5)/1e4 == the round4 convention (queries/__init__)
-            cos = np.floor((amat @ bmat.T) / np.outer(anorm, bnorm) * 1e4 + 0.5) / 1e4
-            ia, ib = np.nonzero((a_ids[:, None] < vids[None, :]) & (cos >= _NEAR_T))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ia],
-                    "vec_b": vids[ib],
-                    "cosine": cos[ia, ib],
-                    "same_label": (a_lab[ia] == labels[ib]).astype(np.int64),
-                }
-            )
+    def score_block_pair(key, pdf):
+        i, j = key
+        a = pdf[pdf["blk"] == i]
+        b = pdf[pdf["blk"] == j]
+        if a.empty or b.empty:
+            return empty
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        amat = np.array(list(a["embedding"]), dtype=np.float64)
+        bmat = np.array(list(b["embedding"]), dtype=np.float64)
+        anorm = np.linalg.norm(amat, axis=1)
+        bnorm = np.linalg.norm(bmat, axis=1)
+        # floor(x*1e4+0.5)/1e4 == the round4 convention (queries/__init__)
+        cos = np.floor((amat @ bmat.T) / np.outer(anorm, bnorm) * 1e4 + 0.5) / 1e4
+        mask = cos >= _NEAR_T
+        if i == j:  # same block: each unordered pair once (upper triangle)
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ia, ib = np.nonzero(mask)
+        a_lab = a["label"].to_numpy()[ia]
+        b_lab = b["label"].to_numpy()[ib]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a_ids[ia], b_ids[ib]),
+                "vec_b": np.maximum(a_ids[ia], b_ids[ib]),
+                "cosine": cos[ia, ib],
+                "same_label": (a_lab == b_lab).astype(np.int64),
+            }
+        )
 
-    # the scan is one small parquet file → one partition; spread the O(N^2)
-    # block scoring across the cluster (at real scale the fact side arrives
-    # pre-partitioned and this repartition is a no-op-sized shuffle)
-    par = spark.sparkContext.defaultParallelism
-    return (
-        e.select("vec_id", "label", "embedding")
-        .repartition(par, "vec_id")
-        .mapInPandas(score_batches, out_schema)
+    return rep.groupBy("bi", "bj").applyInPandas(score_block_pair, out_schema)
+
+
+# --- q46: IVF-style ANN (centroid cells, 1 probe) -------------------------
+
+
+def _sql_centroid_terms() -> str:
+    return ", ".join(
+        f"CAST(sum(CAST(round(emb[{i + 1}] * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE) / 1000000.0"
+        for i in range(_DIMS)
     )
 
 
-# --- q46: IVF-style ANN (centroid cells, 1 probe) — rows-only -------------
+_Q46_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (
+  SELECT label AS cell, list_value({_sql_centroid_terms()}) AS centroid
+  FROM e GROUP BY label
+),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+probe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT qid, qe, cell,
+           row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cell) AS prk
+    FROM (
+      SELECT q.qid, q.qe, c.cell,
+             floor(list_dot_product(qe, centroid)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(centroid, centroid)))
+                   * 10000 + 0.5) / 10000.0 AS ccos
+      FROM q CROSS JOIN cents c))
+  WHERE prk = 1
+)
+SELECT qid, cell, vec_id, cosine,
+       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+FROM (
+  SELECT p.qid, p.cell, e.vec_id,
+         floor(list_dot_product(p.qe, e.emb)
+               / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(e.emb, e.emb)))
+               * 10000 + 0.5) / 10000.0 AS cosine
+  FROM probe p JOIN e ON e.label = p.cell AND e.vec_id != p.qid)
+QUALIFY rk <= {_K}
+"""
 
 
-@register("q46_ivf_ann", None, "IVF 1-probe ANN via label-centroid cells (rows-only)")
+@register("q46_ivf_ann", _Q46_ORACLE, "IVF 1-probe ANN via label-centroid cells")
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file ANN: coarse quantizer = per-label centroids (exact
-    element-wise avg, 64 built-in aggs — a stand-in for k-means on data
+    micro-unit integer means — associative and engine-portable, so the
+    oracle reproduces them bit-for-bit; a stand-in for k-means on data
     that ships labels); each query probes its nearest centroid's cell only,
     then exact cosine top-k within the cell. At 100 TB the fact table is
     pre-partitioned by cell id, so a 1-probe search touches 1/K of the data
-    with zero shuffle; q40 is the exact-recall baseline for comparison."""
+    with zero shuffle; q40 is the exact-recall baseline for comparison.
+    The probe score is round4'd with a deterministic cell tie-break, so the
+    probed cell is engine-independent."""
     e = load(spark, sf_dir, "embeddings")
-    dims = 64
-    cents = e.groupBy("label").agg(
-        F.array(*[F.avg(F.col("embedding")[i]) for i in range(dims)]).alias("centroid")
+    # single F.expr call for the 64 micro-unit means (see _sign_bit_spark
+    # on why: per-Column py4j composition costs seconds of driver time)
+    centroid_terms = ", ".join(
+        f"CAST(SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(COUNT(1) AS DOUBLE) / 1000000.0"
+        for i in range(_DIMS)
     )
+    cents = e.groupBy("label").agg(F.expr(f"ARRAY({centroid_terms})").alias("centroid"))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     qc = q.crossJoin(F.broadcast(cents.select(F.col("label").alias("cell"), "centroid")))
-    ccos = _dot(F.col("qe"), F.col("centroid")) / (
-        _norm(F.col("qe")) * _norm(F.col("centroid"))
+    ccos = round4(
+        _dot(F.col("qe"), F.col("centroid")) / (_norm(F.col("qe")) * _norm(F.col("centroid")))
     )
     wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), "cell")
     probe = (

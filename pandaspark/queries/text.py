@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4
+from . import load, register, round4, sha_int, sql_sha_int
 
 
 def _norm_text(c="text"):
@@ -161,7 +161,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q34: MinHash near-dedup (LSH banding) — no SQL oracle ----------------
+# --- q34: MinHash near-dedup (LSH banding) --------------------------------
 
 _N_HASHES = 16
 # b bands × r rows tune the LSH S-curve: P(candidate | jaccard j) =
@@ -174,6 +174,83 @@ _N_HASHES = 16
 # and candidate-rate against exact-Jaccard ground truth.
 _BANDS = 4  # 4 rows per band
 _SHINGLE_K = 5
+_P = (1 << 31) - 1
+_PERMS = [
+    ((2654435761 * (i + 1)) % _P | 1, (40503 * (i + 7) * 2654435761) % _P)
+    for i in range(_N_HASHES)
+]
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def _minhash_oracle_ctes() -> str:
+    """DuckDB CTEs replicating minhash_candidates exactly: the shared
+    sha256-prefix hash family (sha_int) makes every stage — shingle hash,
+    the 16 universal-hash minima, band buckets — SQL-expressible, so the
+    whole LSH pipeline is value-hash-checkable instead of rows-only."""
+    sig_terms = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {bi} AS band, {bucket} AS bucket FROM sigs".format(
+            bi=bi,
+            bucket=sql_sha_int(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"CAST(m{bi * _ROWS_PER_BAND + r} AS VARCHAR)"
+                    for r in range(_ROWS_PER_BAND)
+                )
+                + ")"
+            ),
+        )
+        for bi in range(_BANDS)
+    )
+    # hash DISTINCT shingles once, then row-wise min-aggregate — mirrors the
+    # Spark explode→agg shape and is ~20x faster in DuckDB than per-doc
+    # list_transform passes (sha256 per occurrence)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT doc_id,
+         unnest([substring(t, i, {_SHINGLE_K})
+                 FOR i IN range(1, greatest(length(t) - {_SHINGLE_K - 1}, 1) + 1)]) AS s
+  FROM norm
+),
+dh AS (SELECT s, {sql_sha_int('s')} % {_P} AS h FROM (SELECT DISTINCT s FROM ex)),
+hs AS (SELECT doc_id, h FROM ex JOIN dh USING (s)),
+sigs AS (
+  SELECT doc_id,
+         {sig_terms}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+_Q34_ORACLE = _minhash_oracle_ctes() + "\nSELECT doc_a, doc_b FROM cand"
+
+_Q55_ORACLE = _minhash_oracle_ctes() + f""",
+sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, {_SHINGLE_K})
+                        FOR i IN range(1, greatest(length(t) - {_SHINGLE_K - 1}, 1) + 1)]) AS sh
+  FROM norm
+)
+SELECT keep_doc, drop_doc, jaccard FROM (
+  SELECT c.doc_a AS keep_doc, c.doc_b AS drop_doc,
+         floor(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+               * 10000 + 0.5) / 10000.0 AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b)
+WHERE jaccard >= 0.9"""
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,26 +277,22 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partials), not as 16 interpreted array-transform passes: higher-order
     # lambdas execute per element in the interpreter, while the aggregate
     # form stays inside whole-stage codegen (~3x on this stage at sf0.1).
-    # Same hashes → identical signatures either way. pmod keeps h in
-    # [0, 2^31) so a*h + b stays < 2^63 (ANSI-safe).
-    p = (1 << 31) - 1
-    perms = [
-        ((2654435761 * (i + 1)) % p | 1, (40503 * (i + 7) * 2654435761) % p)
-        for i in range(_N_HASHES)
-    ]
-    rows_per_band = _N_HASHES // _BANDS
+    # Same hashes → identical signatures either way. The string hash is the
+    # sha256-prefix family (sha_int) — engine-portable, so the DuckDB oracle
+    # replicates the pipeline bit-for-bit; % _P keeps h in [0, 2^31) so
+    # a*h + b stays < 2^63 (ANSI-safe).
     # single-file scan → single partition; spread the per-doc shingle map
     par = spark.sparkContext.defaultParallelism
     hashed = (
         d.select("doc_id", _norm_text().alias("t"))
         .repartition(par, "doc_id")
         .select("doc_id", F.explode(raw_shingles).alias("s"))
-        .select("doc_id", F.pmod(F.xxhash64("s"), F.lit(p)).alias("h"))
+        .select("doc_id", F.pmod(sha_int("s"), F.lit(_P)).alias("h"))
     )
     sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a_c) * F.col("h") + F.lit(b_c)) % F.lit(p)).alias(f"_m{i}")
-            for i, (a_c, b_c) in enumerate(perms)
+            F.min((F.lit(a_c) * F.col("h") + F.lit(b_c)) % F.lit(_P)).alias(f"_m{i}")
+            for i, (a_c, b_c) in enumerate(_PERMS)
         ]
     )
     banded = sigs.select(
@@ -232,8 +305,14 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        sha_int(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[bi * _ROWS_PER_BAND + r].cast("string")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for bi in range(_BANDS)
@@ -255,16 +334,17 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q34_minhash_lsh", None, "MinHash+LSH banding candidate pairs (rows-only check)")
+@register("q34_minhash_lsh", _Q34_ORACLE, "MinHash+LSH banding candidate pairs")
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate stage alone (see minhash_candidates). DuckDB has no
-    xxhash64, so the driver does a rows-only check; recall/candidate-rate
-    are asserted against exact-Jaccard ground truth in tests/test_layout.py,
+    """LSH candidate stage alone (see minhash_candidates), hash-checked
+    against a DuckDB replica of the full pipeline (shingle-hash → 16 minima
+    → band buckets → bucket join); recall/candidate-rate are additionally
+    asserted against exact-Jaccard ground truth in tests/test_layout.py,
     and q55 adds the exact-verify stage on top."""
     return minhash_candidates(spark, sf_dir)
 
 
-@register("q55_dedup_pipeline", None, "LSH candidates → exact-Jaccard verify → drop list")
+@register("q55_dedup_pipeline", _Q55_ORACLE, "LSH candidates → exact-Jaccard verify → drop list")
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dedup pipeline: LSH candidate pairs are VERIFIED
     with exact 5-gram Jaccard, pairs ≥ 0.9 become (keep, drop) decisions
@@ -272,9 +352,9 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (<2% of N²; see test_layout recall gate), so the pipeline's cost
     is the LSH scan + a candidate-sized join — never all-pairs.
 
-    Deterministic end-to-end (fixed hash family, exact set Jaccard), but
-    not SQL-expressible in DuckDB (xxhash64) → rows-only driver check; the
-    verify arithmetic itself is oracle-covered by q33's exact-Jaccard.
+    Deterministic end-to-end (fixed sha256-prefix hash family, exact set
+    Jaccard) and fully oracle-checked: the DuckDB SQL replays candidates +
+    verify bit-for-bit.
     """
     cand = minhash_candidates(spark, sf_dir)
     tc = F.col("t")

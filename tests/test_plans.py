@@ -38,9 +38,24 @@ def test_no_python_row_udfs_in_plan(spark, name):
     # exception (see pandaspark/vectorops.py docstring) and the stubbed
     # multimodal module; everything else must stay JVM-side.
     assert "ArrowEvalPython" not in plan, f"{name} uses Python UDFs in the hot path"
-    _MAPINPANDAS_ALLOWED = {"q45_cosine_neardup"}
-    if name not in _MAPINPANDAS_ALLOWED:
+    _PANDAS_KERNEL_ALLOWED = {"q45_cosine_neardup"}
+    if name not in _PANDAS_KERNEL_ALLOWED:
         assert "MapInPandas" not in plan, f"{name} uses mapInPandas outside the dense-linalg exception"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name} uses applyInPandas outside the dense-linalg exception"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_driver_collect_in_query_bodies(name):
+    """A registered query must return a lazy plan end-to-end: any
+    .collect()/.toPandas()/.toLocalIterator() inside the body funnels the
+    data through the driver — the scale failure q45 used to have (the whole
+    embeddings table in every task closure). Enforced at the source level
+    because a driver collect never shows up in the final plan."""
+    import inspect
+
+    src = inspect.getsource(REGISTRY[name].fn)
+    for banned in (".collect(", ".toPandas(", ".toLocalIterator("):
+        assert banned not in src, f"{name} pulls data to the driver via {banned})"
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
