@@ -24,11 +24,9 @@ def asof_join(
 
     Implementation: non-equi join + per-left-row window keeping the max
     right_time (deterministic via explicit tiebreak columns). Correct and
-    simple; its cost is O(matches). At 100 TB the standard refinement is to
-    bucket both sides by (key, time_bucket) so each left row joins only its
-    own and the previous bucket, or to applyInPandas(merge_asof) per key —
-    same semantics, bounded fanout. This function is the semantic anchor
-    the scale variants must match.
+    simple; its cost is O(matches). asof_join_bucketed below is the 100 TB
+    form — same semantics (tests assert exact equality), bounded fanout.
+    This function is the semantic anchor the scale variants must match.
     """
     # rename colliding right columns so the joined frame has unique names
     renames = {c: c + "_right" for c in right.columns if c in left.columns}
@@ -46,6 +44,107 @@ def asof_join(
     order = [rt.desc_nulls_last()] + [F.col(c).desc_nulls_last() for c in tiebreak]
     w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
     return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Column | str,
+    right_on: Column | str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    tiebreak: list[str] | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Backward as-of LEFT join without the O(matches) intermediate of the
+    anchor form: exact-equal to asof_join (asserted in tests), but every
+    stage is bounded by (key, time-bucket), so it survives 100 TB.
+
+    Plan: left and right rows union into one frame bucketed by
+    floor(epoch/bucket_seconds).
+      1. own-bucket match: a window over (key, bucket) ordered by
+         (time, side, tiebreak) carries the latest right payload forward to
+         each left row — fanout = rows per bucket, never all matches.
+      2. prior buckets: right rows aggregate to ONE max_by row per
+         (key, bucket); a carry window over these summaries (rows = number
+         of buckets, not rows) finds the latest payload strictly before
+         each bucket.
+      3. per left row: own-bucket match if present (always later than any
+         carry), else the carry row; unmatched left rows keep nulls (LEFT
+         join semantics, same as the anchor).
+    """
+    renames = {c: c + "_right" for c in right.columns if c in left.columns}
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    right_time = renames.get(right_time, right_time)
+    tiebreak = [renames.get(c, c) for c in (tiebreak or [])]
+    if isinstance(right_on, str):
+        right_on = renames.get(right_on, right_on)
+
+    right = right.filter(F.col(right_time).isNotNull())
+    rkey = right[right_on] if isinstance(right_on, str) else right_on
+    lkey = left[left_on] if isinstance(left_on, str) else left_on
+    payload_cols = right.columns
+
+    def bkt(c: Column) -> Column:
+        return F.floor(F.unix_timestamp(c.cast("timestamp")) / F.lit(bucket_seconds))
+
+    # unified frame: left rows (side=1, null payload) + right rows (side=0)
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    order_key = F.struct(F.col(right_time), *[F.col(c) for c in tiebreak])
+    r_u = right.select(
+        rkey.alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        bkt(F.col(right_time)).alias("_bkt"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+        order_key.alias("_ord"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l_u = left.select(
+        lkey.alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        bkt(F.col(left_time)).alias("_bkt"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_u.schema["_p"].dataType).alias("_p"),
+        F.lit(None).cast(r_u.schema["_ord"].dataType).alias("_ord"),
+        *left.columns,
+    )
+    # 1. within (key, bucket): last right payload at or before each row;
+    # right rows sort before left rows at equal time (<= semantics), and
+    # among equal right times the largest tiebreak comes last (wins)
+    own_w = (
+        Window.partitionBy("_k", "_bkt")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r_u.unionByName(l_u).withColumn(
+        "_own", F.last("_p", ignorenulls=True).over(own_w)
+    )
+    lefts = unioned.filter(F.col("_side") == 1)
+
+    # 2. one summary row per (key, bucket) of right rows; carry = latest
+    # summary strictly before the bucket (window over summaries only)
+    summ = right.groupBy(
+        rkey.alias("_k"), bkt(F.col(right_time)).alias("_bkt")
+    ).agg(F.max_by(payload, order_key).alias("_bucket_last"))
+    l_buckets = lefts.select("_k", "_bkt").distinct()
+    universe = l_buckets.join(summ, ["_k", "_bkt"], "full")
+    carry_w = (
+        Window.partitionBy("_k")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = universe.withColumn(
+        "_carry", F.last("_bucket_last", ignorenulls=True).over(carry_w)
+    ).select("_k", "_bkt", "_carry")
+
+    # 3. own-bucket match wins (its time is >= any prior bucket's)
+    best = F.coalesce(F.col("_own"), F.col("_carry"))
+    out = lefts.join(carry, ["_k", "_bkt"], "left").select(
+        *left.columns, *[best[c].alias(c) for c in payload_cols]
+    )
+    return out
 
 
 def range_join_bucketed(
@@ -81,6 +180,41 @@ def latest_per_key(
     The window shuffles once on the key — the minimal plan for this op."""
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_by])
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def sequential_ids(
+    df: DataFrame, order_cols: list[str], alias: str = "tid", start: int = 1
+) -> DataFrame:
+    """Globally-sequential row numbers in `order_cols` order WITHOUT a
+    single-partition window — the 100 TB form of SURVEY.md W2/P13
+    (known-hard list §7.4 item 4); reference semantic: panda.py:685-691.
+
+    Phase 1: repartitionByRange gives range-ordered partitions (equal keys
+    co-located, so numbering is deterministic for any total-order key);
+    row_number runs per partition in parallel. Phase 2: per-partition
+    counts prefix-sum into broadcast offsets — the only single-partition
+    work is a window over n_partitions rows. Exact-equal to the global
+    window form by construction (asserted in tests)."""
+    ranged = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
+    part_w = Window.partitionBy("_pid").orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("_pid", "_offset")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(part_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, (F.col("_rn") + F.col("_offset") + F.lit(start - 1)).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
 
 
 def two_phase_running_total(

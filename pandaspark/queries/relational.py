@@ -380,11 +380,18 @@ FROM orders
 """
 
 
-@register("q14_sequential_ids", _Q14_ORACLE, "global row_number ids (scale path: store.assign_ids)")
+@register("q14_sequential_ids", _Q14_ORACLE, "global sequential ids, two-phase (no global window)")
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase numbering (operators.sequential_ids): a partition-less
+    row_number window would drag the whole table through ONE task at
+    scale; the range-partition + broadcast-offset form is exact-equal and
+    parallel (the plan gate in test_plans.py forbids the naive form)."""
+    from ..operators import sequential_ids
+
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return o.select("o_orderkey", F.row_number().over(w).cast("long").alias("tid"))
+    return sequential_ids(
+        o.select("o_orderkey", "o_orderdate"), ["o_orderdate", "o_orderkey"]
+    ).select("o_orderkey", "tid")
 
 
 # --- q15: top-k per group (window + filter) -------------------------------
@@ -551,13 +558,16 @@ QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) <= 20
 """
 
 
-@register("q21_top_n", _Q21_ORACLE, "global top-20, tie-broken deterministically")
+@register("q21_top_n", _Q21_ORACLE, "global top-20 via TakeOrderedAndProject")
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy + limit plans as TakeOrderedAndProject: each partition keeps
+    its local top-20 and only those reach the driver-side merge — O(N)
+    scan, no global sort, no single-partition window (the previous
+    row_number form was a scale-killer by construction)."""
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 20)
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import asof_join, latest_per_key
+from ..operators import asof_join_bucketed, latest_per_key
 from . import load, register, sql_cents_sum, cents_sum
 from .relational import cents
 
@@ -50,13 +50,11 @@ WHERE rn = 1
 """
 
 
-@register("q28_asof_join", _Q28_ORACLE, "backward as-of join via operators.asof_join")
+@register("q28_asof_join", _Q28_ORACLE, "backward as-of join, time-bucketed (no O(matches) blowup)")
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    joined = asof_join(
-        o,
-        e,
+    joined = asof_join_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value"),
         left_on=F.col("o_custkey") % 10,
         right_on=F.col("user_id"),
         left_time="o_orderdate",

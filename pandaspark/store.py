@@ -74,32 +74,13 @@ def merge_import(existing: DataFrame, incoming: DataFrame) -> DataFrame:
 
 
 def assign_ids(df: DataFrame, next_id: int = 1) -> DataFrame:
-    """Sequential transaction_id in canonical order, starting at next_id.
+    """Sequential transaction_id in canonical order, starting at next_id —
+    the shared two-phase numbering operator (operators.sequential_ids):
+    range-partition, number per partition in parallel, add broadcast
+    prefix offsets. No single-partition window."""
+    from .operators import sequential_ids
 
-    Two-phase: number rows within each partition, then add broadcast
-    per-partition offsets — one extra tiny shuffle-free pass instead of a
-    single-partition global window. Ordering across partitions comes from
-    repartitionByRange on the canonical sort key.
-    """
-    ranged = df.repartitionByRange(*CANONICAL_ORDER)
-    part_w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc_nulls_first() for c in CANONICAL_ORDER])
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = with_pid.groupBy("_pid").count()
-    offsets = (
-        counts.withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("count").over(Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
-        ).select("_pid", "_offset")
-    )
-    return (
-        with_pid.withColumn("_rn", F.row_number().over(part_w))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("transaction_id", (F.col("_rn") + F.col("_offset") + F.lit(next_id - 1)).cast("long"))
-        .drop("_pid", "_rn", "_offset")
-    )
+    return sequential_ids(df, CANONICAL_ORDER, alias="transaction_id", start=next_id)
 
 
 def prepare_for_store(df: DataFrame, next_id: int = 1) -> DataFrame:

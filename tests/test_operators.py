@@ -2,7 +2,14 @@
 
 from __future__ import annotations
 
-from pandaspark.operators import asof_join, latest_per_key, range_join_bucketed
+from pyspark.sql import functions as F
+
+from pandaspark.operators import (
+    asof_join,
+    asof_join_bucketed,
+    latest_per_key,
+    range_join_bucketed,
+)
 
 
 def test_asof_join_colliding_names_ties_and_no_match(spark):
@@ -19,6 +26,60 @@ def test_asof_join_colliding_names_ties_and_no_match(spark):
         (1, 300, 1, 200, "late"),  # latest prior
         (2, 50, None, None, None),  # left row without match survives (how=left)
     ]
+
+
+def test_asof_join_bucketed_equals_anchor_edge_cases(spark):
+    """The bucketed form must reproduce the anchor exactly, including
+    exact-time inclusivity, tie-breaks, no-match lefts, and matches that
+    CROSS bucket boundaries (bucket_seconds=60 on second-scale data forces
+    the carry path: lefts whose latest right sits buckets earlier)."""
+    l = spark.createDataFrame(
+        [(1, 100), (1, 300), (1, 1000), (2, 50), (3, 700)], "k int, t int"
+    )
+    r = spark.createDataFrame(
+        [(1, 200, "late"), (1, 100, "attime"), (1, 100, "attime2"), (3, 100, "far")],
+        "k int, t int, v string",
+    )
+    want = sorted(
+        tuple(x)
+        for x in asof_join(l, r, "k", "k", left_time="t", right_time="t", tiebreak=["v"]).collect()
+    )
+    got = sorted(
+        tuple(x)
+        for x in asof_join_bucketed(
+            l, r, "k", "k", left_time="t", right_time="t", tiebreak=["v"], bucket_seconds=60
+        ).collect()
+    )
+    assert got == want
+    # the k=3 match crossed 10 buckets (t=100 → t=700): carry path exercised
+    assert (3, 700, 3, 100, "far") in got
+
+
+def test_asof_join_bucketed_equals_anchor_on_q28_shape(spark):
+    """Full-size equivalence on the q28 data (orders ← latest prior event):
+    bucketed plan output == anchor output, row for row."""
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "value")
+    kwargs = dict(
+        left_on=F.col("o_custkey") % 10,
+        right_on=F.col("user_id"),
+        left_time="o_orderdate",
+        right_time="ts",
+        tiebreak=["event_id"],
+    )
+    want = {
+        (r.o_orderkey, r.event_id, r.value)
+        for r in asof_join(o, e, **kwargs).collect()
+    }
+    got = {
+        (r.o_orderkey, r.event_id, r.value)
+        for r in asof_join_bucketed(o, e, **kwargs).collect()
+    }
+    assert got == want and len(got) == o.count()
 
 
 def test_range_join_bucketed_hits_and_boundaries(spark):

@@ -58,6 +58,49 @@ def test_no_driver_collect_in_query_bodies(name):
         assert banned not in src, f"{name} pulls data to the driver via {banned})"
 
 
+def _walk_jplan(node, visit):
+    visit(node)
+    children = node.children()
+    for i in range(children.size()):
+        _walk_jplan(children.apply(i), visit)
+
+
+def _subtree_has_bounded_input(node) -> bool:
+    """True if the subtree aggregates (or globally limits) before the
+    window — i.e. the window's input is bounded by construction (e.g. the
+    n_partitions-row offsets frame of the two-phase operators)."""
+    found = []
+
+    def visit(n):
+        if n.getClass().getSimpleName() in ("Aggregate", "GlobalLimit"):
+            found.append(True)
+
+    _walk_jplan(node, visit)
+    return bool(found)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_partitionless_window_over_unbounded_input(spark, name):
+    """A Window with an empty PARTITION BY funnels its entire input through
+    ONE task — a scale-killer unless the input is already bounded (an
+    aggregate output like the two-phase operators' per-partition offsets).
+    q14/q21 regressed on this once; gate the whole registry."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+
+    def visit(n):
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+            and not _subtree_has_bounded_input(n.children().apply(0))
+        ):
+            bad.append(n.getClass().getSimpleName())
+
+    _walk_jplan(plan, visit)
+    assert not bad, f"{name} has a partition-less window over unbounded input"
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark):
     plan = formatted_plan(spark, "q02_filter_project")
     assert "PushedFilters:" in plan
