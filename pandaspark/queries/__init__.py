@@ -157,13 +157,16 @@ _VERIFY_FIRST = [
     "q56_json_extract", "q58_sketch_aggs", "q60_array_hof",
     "q62_order_priority", "q63_large_volume", "q64_promo_share",
     "q65_interval_join",
-    # never hash-checked by any driver round (no_oracle until round 3's
-    # sha256-hash rework lands oracles for them)
+    # never hash-checked by any driver round (no_oracle before round 3's
+    # sha256-hash rework landed oracles for them)
     "q34_minhash_lsh", "q42_lsh_ann", "q55_dedup_pipeline", "q46_ivf_ann",
+    # plans REWRITTEN in round 3 (block-partitioned q45, bucketed q28,
+    # two-phase q14, TakeOrdered q21): outputs unchanged, but the new plans
+    # deserve a driver row
+    "q45_cosine_neardup", "q28_asof_join", "q14_sequential_ids", "q21_top_n",
 ]
-_VERIFY_LAST = [  # heaviest at verify scale; all driver-green in r01/r02
-    "q33_ngram_jaccard", "q28_asof_join", "q27_quantiles",
-    "q45_cosine_neardup", "q61_dup_clusters",
+_VERIFY_LAST = [  # heaviest at verify scale; driver-green in r01/r02, unchanged
+    "q33_ngram_jaccard", "q27_quantiles", "q61_dup_clusters",
 ]
 assert set(_VERIFY_FIRST + _VERIFY_LAST) <= set(REGISTRY), "rotation names drifted"
 _mid = [n for n in sorted(REGISTRY) if n not in set(_VERIFY_FIRST + _VERIFY_LAST)]

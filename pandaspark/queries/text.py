@@ -356,7 +356,10 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard) and fully oracle-checked: the DuckDB SQL replays candidates +
     verify bit-for-bit.
     """
-    cand = minhash_candidates(spark, sf_dir)
+    # candidates are consumed twice (verify join + the doc-id semi-join
+    # below); localCheckpoint materializes the tiny pair list once instead
+    # of re-running the whole LSH scan per consumer
+    cand = minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
     tc = F.col("t")
     shingles = F.array_distinct(
         F.transform(
@@ -364,9 +367,18 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
         )
     )
+    # materialize shingle ARRAYS only for docs that appear in a candidate
+    # pair (a semi-join BEFORE the shingle projection): candidates are a
+    # vanishing fraction of the corpus, and without the explicit semi-join
+    # Catalyst would build+shuffle big arrays for every document just to
+    # throw them away at the verify join (~3s of the old q55 at sf0.1)
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
     sh = (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .select("doc_id", _norm_text().alias("t"))
         .select("doc_id", shingles.alias("sh"))
     )
