@@ -27,11 +27,22 @@ def with_cat(df: DataFrame) -> DataFrame:
     return df.withColumn("cat", effective_category()).drop("category", "category_manual")
 
 
+def _year_filter(df: DataFrame, year: int):
+    """year(book_date) == year, plus the equivalent book_year predicate
+    when the frame still carries the store's partition column — that form
+    prunes whole partition directories at the scan (store partitioned by
+    book_year; the year() expression alone cannot prune)."""
+    cond = F.year("book_date") == year
+    if "book_year" in df.columns:
+        cond = cond & (F.col("book_year") == year)
+    return cond
+
+
 def uncategorized_expenses(df: DataFrame, year: int = 2024) -> DataFrame:
     """Query 1: residual uncategorized spend — the human feedback loop."""
     return (
         df.filter(
-            (F.year("book_date") == year)
+            _year_filter(df, year)
             & F.col("transfer_category").isNull()
             & F.col("account").isin(ANALYSIS_ACCOUNTS)
             & F.col("cat").isNull()
@@ -54,7 +65,7 @@ def cumulative_uncategorized(df: DataFrame, year: int = 2024) -> DataFrame:
 
 def income_overview(df: DataFrame, year: int = 2024) -> DataFrame:
     """Query 3: income by category + grand-total row (rollup)."""
-    base = df.filter((F.year("book_date") == year) & F.col("cat").isin(INCOME_CATS))
+    base = df.filter(_year_filter(df, year) & F.col("cat").isin(INCOME_CATS))
     return (
         base.rollup("cat")
         .agg(F.round(F.sum("amount"), 2).alias("total"))
@@ -71,7 +82,7 @@ def expense_overview(df: DataFrame, year: int = 2024, accounts: list[str] | None
     """
     accounts = accounts or ANALYSIS_ACCOUNTS
     base = df.filter(
-        (F.year("book_date") == year)
+        _year_filter(df, year)
         & ~in_category_subtree("cat", "intern")
         & ~in_category_subtree("cat", "einnahmen")
         & F.col("transfer_category").isNull()
@@ -95,7 +106,7 @@ def keyword_costs(df: DataFrame, patterns: str, year: int | None = None) -> Data
         F.coalesce("party", F.lit("")).rlike(rx) | F.coalesce("purpose", F.lit("")).rlike(rx)
     )
     if year is not None:
-        base = base.filter(F.year("book_date") == year)
+        base = base.filter(_year_filter(base, year))
     return base.agg(
         F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("total")
     )

@@ -245,8 +245,10 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     if current is None:
         raise FileNotFoundError(f"no committed store snapshot under {path}")
     df = spark.read.parquet(current)
-    if "book_year" in df.columns:
-        df = df.drop("book_year")
+    # book_year (the partition column) stays in the working set: year
+    # filters that reference it prune whole partition directories, which a
+    # filter on year(book_date) alone can never do (analytics._year_filter
+    # uses both; they are equal by construction in write_store)
     return (
         df.withColumn("amount", from_cents("amount_cents"))
         .withColumn("balance", from_cents("balance_cents"))

@@ -172,3 +172,19 @@ def test_year_partitioned_store_prunes_partitions(spark, tmp_path):
     pf = [l for l in scan.splitlines() if "PartitionFilters" in l][0]
     assert "book_year" in pf, pf
     assert got.count() == sum(1 for r in rows if r[2].year == 2024) > 0
+
+    # the END-TO-END loop (§4.2): read_store keeps book_year and the
+    # analytics year filters reference it, so a year-scoped ANALYTICS query
+    # prunes partition directories — not just a hand-written raw filter
+    from pandaspark.analytics import uncategorized_expenses, with_cat
+    from pandaspark.store import read_store
+
+    ws = with_cat(read_store(spark, path))
+    q = uncategorized_expenses(ws, year=2024)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet"):]
+    pf = [l for l in scan.splitlines() if "PartitionFilters" in l][0]
+    assert "book_year" in pf, f"analytics year filter did not prune: {pf}"
+    assert q.count() == sum(1 for r in rows if r[2].year == 2024)
