@@ -268,25 +268,18 @@ def backup_json(df: DataFrame, path: str) -> None:
     JSON-lines instead of YAML (streamable, splittable, schema-stable).
     Single file for diffability at personal scale; drop coalesce(1) for
     cluster-scale backups."""
-    out = df
-    for c, t in df.dtypes:
-        if t == "date":
-            out = out.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd"))
-        elif t.startswith("timestamp"):
-            out = out.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    out.sort(*[c for c in CANONICAL_ORDER if c in df.columns]).coalesce(1).write.mode(
-        "overwrite"
-    ).json(path)
+    _iso_dates(df).sort(*[c for c in CANONICAL_ORDER if c in df.columns]).coalesce(
+        1
+    ).write.mode("overwrite").json(path)
 
 
-def restore_json(spark: SparkSession, path: str, schema) -> DataFrame:
-    """S9 inverse: JSON-lines backup → typed frame. The explicit schema
-    re-parses ISO date strings (never inferSchema on money columns)."""
-    raw = spark.read.json(path)
+def _cast_to_schema(raw: DataFrame, schema) -> DataFrame:
+    """Backup text formats carry ISO strings; re-type against the explicit
+    schema (never inferSchema on money columns)."""
     cols = []
     for field in schema.fields:
         if field.name not in raw.columns:
-            # JSON-lines omit null fields; an all-null column vanishes
+            # serializers omit null fields; an all-null column vanishes
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
             continue
         c = F.col(field.name)
@@ -297,6 +290,83 @@ def restore_json(spark: SparkSession, path: str, schema) -> DataFrame:
         else:
             cols.append(c.cast(field.dataType).alias(field.name))
     return raw.select(*cols)
+
+
+def restore_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S9 inverse: JSON-lines backup → typed frame."""
+    return _cast_to_schema(spark.read.json(path), schema)
+
+
+def _iso_dates(df: DataFrame) -> DataFrame:
+    out = df
+    for c, t in df.dtypes:
+        if t == "date":
+            out = out.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd"))
+        elif t.startswith("timestamp"):
+            out = out.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    return out
+
+
+def backup_yaml(df: DataFrame, path: str) -> None:
+    """S8 proper: the reference's YAML backup format (migrate.py:14-36) —
+    a block-style list of records, dates ISO-formatted. Each partition
+    emits a valid `- key: value` sequence fragment, and YAML sequences
+    concatenate, so the format stays distributed-writable; canonical sort +
+    coalesce(1) keeps the personal-scale backup human-diffable (drop the
+    coalesce for cluster-scale exports). Serialization runs in Arrow
+    batches (mapInPandas) — a text-format edge, not a relational hot path,
+    so the zero-UDF guarantee for registry queries is unaffected."""
+    import yaml
+
+    from pyspark.sql import types as T
+
+    iso = _iso_dates(df).sort(*[c for c in CANONICAL_ORDER if c in df.columns]).coalesce(1)
+
+    def to_yaml(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            records = []
+            for rec in pdf.to_dict(orient="records"):
+                clean = {
+                    k: (None if (isinstance(v, float) and math.isnan(v)) or v is None else v)
+                    for k, v in rec.items()
+                }
+                records.append(clean)
+            if records:
+                yield pd.DataFrame(
+                    {"value": [yaml.safe_dump(records, sort_keys=False, allow_unicode=True)]}
+                )
+
+    out_schema = T.StructType([T.StructField("value", T.StringType())])
+    iso.mapInPandas(to_yaml, out_schema).write.mode("overwrite").text(path)
+
+
+def restore_yaml(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S9 proper: YAML backup → typed frame. Reads whole files (each file
+    is one YAML sequence), parses per file in Arrow batches, then re-types
+    against the explicit schema."""
+    import yaml
+
+    from pyspark.sql import types as T
+
+    raw = spark.read.text(path, wholetext=True)
+    names = [f.name for f in schema.fields]
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for text in pdf["value"]:
+                records = yaml.safe_load(text) or []
+                yield pd.DataFrame(
+                    {n: [None if r.get(n) is None else str(r.get(n)) for r in records] for n in names}
+                )
+
+    str_schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    return _cast_to_schema(raw.mapInPandas(parse, str_schema), schema)
 
 
 def write_bucketed(

@@ -261,6 +261,38 @@ def test_analytics_against_duckdb(spark, csv_dir):
     assert ov["wohnen::manual"][3] == -80.00
 
 
+def test_yaml_backup_roundtrip(spark, csv_dir, tmp_path):
+    """S8/S9 proper: the reference's YAML list-of-records backup format
+    (migrate.py:14-62) round-trips to an identical typed frame, and the
+    file really is block-style YAML with ISO dates."""
+    from pandaspark.store import backup_yaml, prepare_for_store, restore_yaml
+
+    raw = read_ing_csv(spark, csv_dir, account_map=ACCOUNT_MAP)
+    stored = prepare_for_store(apply_cascade(merge_import(raw.limit(0), raw), RULES))
+    path = str(tmp_path / "backup_yaml")
+    backup_yaml(stored, path)
+
+    restored = restore_yaml(spark, path, stored.schema)
+    assert [(f.name, f.dataType) for f in restored.schema.fields] == [
+        (f.name, f.dataType) for f in stored.schema.fields
+    ]
+    key = lambda r: (r["account"], str(r["book_date"]), r["fingerprint"])
+    strip = lambda r: {k: v for k, v in r.items() if k != "imported_at"}
+    want = {key(r): strip(r) for r in (x.asDict() for x in stored.collect())}
+    got = {key(r): strip(r) for r in (x.asDict() for x in restored.collect())}
+    assert got == want and len(got) == 8
+
+    import glob as _g
+
+    import yaml as _y
+
+    part = _g.glob(f"{path}/part-*")[0]
+    docs = _y.safe_load(open(part).read())
+    assert isinstance(docs, list) and len(docs) == 8
+    assert docs[0]["book_date"] == str(sorted(want)[0][1])
+    assert open(part).read().lstrip().startswith("- ")  # block-style list
+
+
 def test_json_backup_roundtrip(spark, csv_dir, tmp_path):
     """S8/S9: JSON-lines backup with ISO dates restores to an identical
     typed frame (order-insensitive row-set equality, exact cents)."""
