@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, round4, sha_int, sql_round4, sql_sha_int
 from .text import _norm_text
 
 # --- q66: distinctive vocabulary per language (TF-IDF-shaped, exact) --------
@@ -125,6 +125,137 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+# --- q69: benchmark contamination check (word-8-gram overlap) ---------------
+#
+# The pre-training hygiene step: find training documents sharing any word
+# 8-gram with a benchmark/eval set (stand-in here: doc_id % 97 == 0 — a
+# deterministic pseudo-benchmark slice). Docs explode to DISTINCT 8-gram
+# hashes (sha_int — engine-portable, 8 bytes on the wire instead of the
+# gram text), the benchmark's hash set is the small side of a semi/inner
+# join keyed on the hash, and the report is one row per contaminated doc
+# with overlap counts. Plan at 100 TB: explode → per-doc distinct →
+# hash-join on an 8-byte key whose build side is benchmark-sized.
+# mod 7 makes the pseudo-benchmark dense enough that the planted near-dup
+# pairs actually straddle the bench/train split at verify scale (a 0-row
+# report would be a vacuous correctness check).
+
+_NGRAM_WORDS = 8
+_BENCH_MOD = 7
+
+
+def _contamination_frames(spark: SparkSession, sf_dir: str):
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {_NGRAM_WORDS - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(w, i, {_NGRAM_WORDS})))"
+    )
+    hashed = (
+        d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+        .select("doc_id", sha_int("g").alias("h"))
+    )
+    bench = hashed.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
+    train = hashed.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return train, bench
+
+
+_Q69_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i + {_NGRAM_WORDS - 1}], ' ')
+                FOR i IN range(1, greatest(len(w) - {_NGRAM_WORDS - 1}, 1) + 1)])) AS g
+  FROM norm
+),
+hashed AS (SELECT doc_id, {sql_sha_int('g')} AS h FROM grams),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (SELECT doc_id, h FROM hashed WHERE doc_id % {_BENCH_MOD} != 0),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id),
+shared AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM train WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+)
+SELECT t.doc_id, s.n_shared, t.n_grams,
+       {sql_round4('CAST(s.n_shared AS DOUBLE) / CAST(t.n_grams AS DOUBLE)')} AS overlap
+FROM tot t JOIN shared s USING (doc_id)
+"""
+
+
+@register("q69_contamination", _Q69_ORACLE, "benchmark n-gram contamination report")
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, bench = _contamination_frames(spark, sf_dir)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        train.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    overlap = round4(F.col("n_shared").cast("double") / F.col("n_grams").cast("double"))
+    return tot.join(shared, "doc_id").select(
+        "doc_id", "n_shared", "n_grams", overlap.alias("overlap")
+    )
+
+
+# --- q70: repetition / boilerplate scoring ----------------------------------
+#
+# Quality filter every crawl pipeline runs: the duplicate-shingle fraction
+# (1 - distinct/total 5-gram shingles) flags boilerplate, templated, and
+# looping documents. One explode + per-doc count/countDistinct — a single
+# hash aggregation keyed on doc_id at any scale; the report keeps the
+# top-100 most repetitive docs (TakeOrderedAndProject, no global sort).
+
+_Q70_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         [substring(t, i, 5) FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS s
+  FROM (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents WHERE text IS NOT NULL)
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(s) AS BIGINT) AS n_shingles,
+         CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+         floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE))
+               * 10000 + 0.5) / 10000.0 AS rep_ratio
+  FROM sh
+)
+SELECT doc_id, lang, n_shingles, n_distinct, rep_ratio
+FROM scored
+ORDER BY rep_ratio DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("q70_repetition_score", _Q70_ORACLE, "duplicate-shingle boilerplate scoring, top-100")
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tc = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tc) - 4, F.lit(1))),
+        lambda i: F.substring(tc, i, F.lit(5)),
+    )
+    ex = d.select("doc_id", "lang", _norm_text().alias("t")).select(
+        "doc_id", "lang", F.explode(shingles).alias("s")
+    )
+    scored = ex.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("s").alias("n_distinct"),
+    )
+    rep = round4(
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles").cast("double")
+    )
+    return (
+        scored.withColumn("rep_ratio", rep)
+        .orderBy(F.col("rep_ratio").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_shingles", "n_distinct", "rep_ratio")
     )
 
 

@@ -236,12 +236,23 @@ def write_store(df: DataFrame, path: str, partition_by_year: bool = True) -> Non
     commit_snapshot(out, path, partition_by=["book_year"] if partition_by_year else None)
 
 
-def read_store(spark: SparkSession, path: str) -> DataFrame:
+def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed snapshot versions, oldest first (the time-travel axis)."""
+    return sorted(v for v, ok in _version_dirs(spark, root).items() if ok)
+
+
+def read_store(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Load the canonical table as the analysis working set: euros derived
     from cents, canonical order (lazy — order applied by consumers).
-    Resolves the current committed snapshot; legacy plain-parquet
+    Resolves the current committed snapshot — or a specific one via
+    `version` (time travel across the GC window); legacy plain-parquet
     directories read as-is."""
-    current = latest_commit_path(spark, path)
+    if version is not None:
+        if version not in snapshot_versions(spark, path):
+            raise FileNotFoundError(f"no committed snapshot v{version} under {path}")
+        current = f"{path}/v{version:0{_VERSION_WIDTH}d}"
+    else:
+        current = latest_commit_path(spark, path)
     if current is None:
         raise FileNotFoundError(f"no committed store snapshot under {path}")
     df = spark.read.parquet(current)

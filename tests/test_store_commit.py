@@ -97,6 +97,32 @@ def test_write_store_never_clobbers_previous_snapshot(spark, tmp_path):
     assert spark.read.parquet(f"{root}/v000001").count() == first == 50
 
 
+def test_read_store_time_travel(spark, tmp_path):
+    """read_store(version=N) reads a retained older snapshot; unknown or
+    garbage versions raise instead of silently reading junk."""
+    import pytest as _pt
+
+    from pandaspark.store import snapshot_versions
+
+    root = str(tmp_path / "tt")
+
+    def frame(n):
+        return spark.range(n).select(
+            F.col("id").alias("transaction_id"),
+            (F.col("id") * 100).cast("long").alias("amount_cents"),
+            F.lit(None).cast("long").alias("balance_cents"),
+        )
+
+    commit_snapshot(frame(3), root)
+    commit_snapshot(frame(5), root)
+    _touch_garbage_version(root, 3)
+    assert snapshot_versions(spark, root) == [1, 2]
+    assert read_store(spark, root).count() == 5
+    assert read_store(spark, root, version=1).count() == 3
+    with _pt.raises(FileNotFoundError):
+        read_store(spark, root, version=3)  # garbage: never committed
+
+
 def test_read_store_legacy_plain_directory(spark, tmp_path):
     """Stores written before versioning (plain parquet dir) still read."""
     root = str(tmp_path / "legacy")
