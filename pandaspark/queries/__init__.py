@@ -150,7 +150,8 @@ from . import relational3  # noqa: E402,F401
 # it is a query that already has a green row in a prior round.
 _VERIFY_FIRST = [
     # NEW in round 3 — never seen by any driver round
-    "q69_contamination", "q70_repetition_score",
+    "q69_contamination", "q70_repetition_score", "q71_mixture_sampling",
+    "q72_pii_masking", "q73_boilerplate_ngrams",
     # starved in r02 (r01-green except q51/q60 whose fix is unverified)
     "q35_unpivot", "q36_sql_subquery", "q37_latest_per_key",
     "q47_lag_delta", "q48_range_frame", "q49_ranking_suite",

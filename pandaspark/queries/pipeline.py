@@ -207,9 +207,10 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Quality filter every crawl pipeline runs: the duplicate-shingle fraction
 # (1 - distinct/total 5-gram shingles) flags boilerplate, templated, and
-# looping documents. One explode + per-doc count/countDistinct — a single
-# hash aggregation keyed on doc_id at any scale; the report keeps the
-# top-100 most repetitive docs (TakeOrderedAndProject, no global sort).
+# looping documents. Both counts are PER-DOC facts, so they compute
+# map-side from the shingle array (size / size(array_distinct)) — no
+# explode, no shuffle; work per row is bounded by doc length. The only
+# distributed step is the top-100 report (TakeOrderedAndProject).
 
 _Q70_ORACLE = """
 WITH sh AS (
@@ -236,17 +237,18 @@ LIMIT 100
 @register("q70_repetition_score", _Q70_ORACLE, "duplicate-shingle boilerplate scoring, top-100")
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    tc = F.col("t")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(tc) - 4, F.lit(1))),
-        lambda i: F.substring(tc, i, F.lit(5)),
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(t) - 4, 1)), i -> substring(t, i, 5))"
     )
-    ex = d.select("doc_id", "lang", _norm_text().alias("t")).select(
-        "doc_id", "lang", F.explode(shingles).alias("s")
-    )
-    scored = ex.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.countDistinct("s").alias("n_distinct"),
+    scored = (
+        d.select("doc_id", "lang", _norm_text().alias("t"))
+        .select("doc_id", "lang", shingles.alias("sh"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+        )
     )
     rep = round4(
         1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles").cast("double")
@@ -292,4 +294,180 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines; top-level arrays break pandas-based result canonicalizers)
     return m.filter(F.col("absmax") > 0).select(
         "vec_id", scale.alias("scale"), F.to_json(qvec).alias("qvec")
+    )
+
+
+# --- q71: temperature-weighted language mixture sampling ---------------------
+#
+# The data-mixing step of every multilingual pre-training run: low-resource
+# languages are upsampled relative to their corpus share (sampling rate
+# proportional to n^(alpha-1), here alpha=0.5 — the T=2 temperature mix).
+# Per-language keep-rate is c/sqrt(n_lang) capped at 1, materialized as an
+# INTEGER basis-point threshold so the keep decision (48-bit sha hash of
+# doc_id mod 10000 < threshold) is engine-exact with no knife-edge double
+# compares. Plan at 100 TB: per-lang counts are a tiny aggregate, broadcast
+# back onto the scan; the sample never shuffles — one filter pass — and the
+# report is a second tiny aggregate. Reference scope: beyond-reference
+# (SURVEY §2.11 pipeline extension).
+
+_Q71_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+thresholds AS (
+  SELECT lang, n_docs,
+         least(CAST(10000 AS BIGINT),
+               CAST(floor(30000.0 / sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT))
+           AS threshold_bp
+  FROM counts
+),
+kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN thresholds t USING (lang)
+  WHERE {sql_sha_int('CAST(d.doc_id AS VARCHAR)')} % 10000 < t.threshold_bp
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n_docs, t.threshold_bp,
+       coalesce(k.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM thresholds t LEFT JOIN kept k USING (lang)
+"""
+
+
+@register("q71_mixture_sampling", _Q71_ORACLE, "temperature-weighted per-language sampling report")
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    thresholds = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "threshold_bp",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.floor(F.lit(30000.0) / F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+            ),
+        )
+    )
+    kept = (
+        d.join(F.broadcast(thresholds.select("lang", "threshold_bp")), "lang")
+        .filter(sha_int(F.col("doc_id")) % 10000 < F.col("threshold_bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return thresholds.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "threshold_bp",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+    )
+
+
+# --- q72: PII masking + k-anonymity suppression ------------------------------
+#
+# The dataset-release privacy pass: direct identifiers are masked (customer
+# number keeps only its last 3 digits), the quasi-identifier (account
+# balance) is generalized into 500-unit buckets, and any
+# (segment, bucket) group smaller than k=5 has its bucket suppressed
+# (nulled) so no published row is k-distinguishable. Plan at 100 TB: the
+# group-size table is tiny (segments x buckets) and broadcasts back onto
+# the scan — one wide pass, no row-level shuffle. Reference scope:
+# beyond-reference (SURVEY §2.11 pipeline extension).
+
+_Q72_K = 5
+
+_Q72_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey,
+         'Customer#******' || right(c_name, 3) AS masked_name,
+         c_mktsegment,
+         CAST(floor(c_acctbal / 500.0) AS BIGINT) * 500 AS bal_bucket
+  FROM customer
+),
+sizes AS (
+  SELECT c_mktsegment, bal_bucket, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY c_mktsegment, bal_bucket
+)
+SELECT b.c_custkey, b.masked_name, b.c_mktsegment,
+       CASE WHEN s.n >= {_Q72_K} THEN b.bal_bucket END AS bal_bucket,
+       (s.n < {_Q72_K}) AS suppressed
+FROM base b JOIN sizes s USING (c_mktsegment, bal_bucket)
+"""
+
+
+@register("q72_pii_masking", _Q72_ORACLE, "identifier masking + k-anonymity bucket suppression")
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("Customer#******"), F.substring(F.col("c_name"), -3, 3)).alias(
+            "masked_name"
+        ),
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 500.0).cast("long") * 500).alias("bal_bucket"),
+    )
+    sizes = base.groupBy("c_mktsegment", "bal_bucket").agg(F.count(F.lit(1)).alias("n"))
+    return base.join(F.broadcast(sizes), ["c_mktsegment", "bal_bucket"]).select(
+        "c_custkey",
+        "masked_name",
+        "c_mktsegment",
+        F.when(F.col("n") >= _Q72_K, F.col("bal_bucket")).alias("bal_bucket"),
+        (F.col("n") < _Q72_K).alias("suppressed"),
+    )
+
+
+# --- q73: boilerplate n-gram mining ----------------------------------------
+#
+# Template/boilerplate detection across a crawl: per source, the word
+# trigrams appearing in the most DISTINCT documents (document frequency,
+# not occurrences). Per-doc gram de-dup happens map-side (array_distinct
+# before the explode), the df>=2 prune drops the singleton long tail
+# BEFORE the top-k window, and the window partitions by source over the
+# already aggregated (source, gram, df) frame — its width is
+# pruned-grams-per-source, not corpus size. Trigram + df>=2 is tuned to
+# the synthetic corpus's repetition floor (longer grams are near-unique
+# even at sf0.1, which would make the report vacuous). Reference scope:
+# beyond-reference (§2.11).
+
+_Q73_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([array_to_string(w[i:i + 2], ' ')
+                FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+  FROM norm
+),
+df AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS df_cnt
+  FROM grams GROUP BY source, gram HAVING count(*) >= 2
+)
+SELECT source, gram, df_cnt FROM (
+  SELECT source, gram, df_cnt,
+         row_number() OVER (PARTITION BY source ORDER BY df_cnt DESC, gram) AS rk
+  FROM df)
+WHERE rk <= 10
+"""
+
+
+@register("q73_boilerplate_ngrams", _Q73_ORACLE, "per-source top document-frequency 5-grams")
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)),"
+        " i -> concat_ws(' ', slice(w, i, 3)))"
+    )
+    df_cnt = (
+        d.select("doc_id", "source", F.split(_norm_text(), " ").alias("w"))
+        .select("doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") >= 2)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df_cnt").desc(), "gram")
+    return (
+        df_cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "gram", "df_cnt")
     )
