@@ -56,12 +56,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses natively;
-        # read the raw int64 nanos and truncate to micros (the data carries
-        # no sub-microsecond component; DuckDB's ns→us cast truncates too).
+        # events.ts is parquet TIMESTAMP(NANOS). Spark's handling differs by
+        # version: ≤4.0 needs the nanosAsLong legacy conf (int64 nanos →
+        # truncate to micros ourselves), 4.1+ ignores that conf and reads
+        # NANOS natively as TIMESTAMP_NTZ (truncated to micros). Normalize
+        # both paths to a session-TZ (UTC) TimestampType column so every
+        # downstream query and oracle sees identical micros values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
