@@ -56,18 +56,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS). Spark's handling differs by
-        # version: ≤4.0 needs the nanosAsLong legacy conf (int64 nanos →
-        # truncate to micros ourselves), 4.1+ ignores that conf and reads
-        # NANOS natively as TIMESTAMP_NTZ (truncated to micros). Normalize
-        # both paths to a session-TZ (UTC) TimestampType column so every
+        # events.ts has shipped in two physical forms across test-data
+        # generations: TIMESTAMP(NANOS) (readable only via the nanosAsLong
+        # legacy conf, which surfaces it as int64 nanoseconds) and plain
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (the current fixtures,
+        # read natively as TIMESTAMP_NTZ). We set the conf unconditionally
+        # and dispatch on the OBSERVED schema type — LongType means the
+        # nanos path, anything else the native-timestamp path — normalizing
+        # both to a session-TZ (UTC) TimestampType column so every
         # downstream query and oracle sees identical micros values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # Floor division, not `div` (truncate-toward-zero): pre-epoch
+            # nanos must round DOWN to the containing microsecond to match
+            # floor-semantics oracles. Identical for the 2024+ fixtures.
+            # Stay in integer arithmetic — floor(ts/1000.0) would round
+            # through a 53-bit double on ~1.7e18 nano values. Subtracting
+            # pmod (always in [0,1000)) makes the numerator an exact
+            # multiple, so `div` equals mathematical floor for any sign.
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
