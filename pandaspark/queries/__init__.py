@@ -154,6 +154,7 @@ from . import text2  # noqa: E402,F401  (imports .text first)
 from . import similarity  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import pipeline2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
