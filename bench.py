@@ -22,7 +22,19 @@ from pandaspark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("pandaspark-bench")
+    # AQE is the production default (see session.get_spark docstring), but
+    # below ~1 GiB of input there is nothing for it to adapt — every shuffle
+    # already fits one target partition — and its per-stage replan
+    # round-trips dominate sub-second queries. Scale-aware toggle, explicit
+    # override via SPARK_GRAFT_AQE=0/1.
+    data_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    aqe_env = os.environ.get("SPARK_GRAFT_AQE")
+    aqe = (aqe_env == "1") if aqe_env in ("0", "1") else data_bytes >= 1 << 30
+    spark = get_spark("pandaspark-bench", aqe=aqe)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure the

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4, sha_int, sql_round4, sql_sha_int
+from . import load, register, round4, sha_int, spread, sql_round4, sql_sha_int
 from .text import _norm_text
 
 # --- q66: distinctive vocabulary per language (TF-IDF-shaped, exact) --------
@@ -57,14 +57,23 @@ WHERE rk <= 20
 
 @register("q66_distinctive_terms", _Q66_ORACLE, "per-lang distinctive vocabulary (exact ratio test)")
 def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    words = (
-        d.select("doc_id", "lang", F.explode(F.split(_norm_text(), " ")).alias("term"))
-        .filter((F.col("term") != "") & (F.length("term") >= 3))
-        .distinct()  # document frequency: one count per (doc, term)
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    # document frequency = one count per (doc, term): dedup each doc's terms
+    # MAP-SIDE (array_distinct before the explode) instead of a corpus-wide
+    # .distinct() — that distinct was a full-width extra shuffle whose input
+    # is the entire exploded token stream. A doc has exactly one lang, so
+    # per-doc dedup makes (lang, term) occurrence counts == document
+    # frequencies.
+    terms = F.array_distinct(
+        F.filter(
+            F.split(_norm_text(), " "), lambda t: (t != "") & (F.length(t) >= 3)
+        )
     )
+    words = d.select("lang", F.explode(terms).alias("term"))
     lang_df = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("in_df"))
-    global_df = words.groupBy("term").agg(F.count(F.lit(1)).alias("g_df"))
+    # global df folds out of the per-lang aggregate (sum over langs) — the
+    # second aggregation reads the small (lang, term) frame, not the corpus
+    global_df = lang_df.groupBy("term").agg(F.sum("in_df").alias("g_df"))
     lang_docs = d.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_lang_docs"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -147,7 +156,7 @@ _BENCH_MOD = 7
 
 
 def _contamination_frames(spark: SparkSession, sf_dir: str):
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     grams = F.expr(
         f"transform(sequence(1, greatest(size(w) - {_NGRAM_WORDS - 1}, 1)),"
         f" i -> concat_ws(' ', slice(w, i, {_NGRAM_WORDS})))"
@@ -236,7 +245,7 @@ LIMIT 100
 
 @register("q70_repetition_score", _Q70_ORACLE, "duplicate-shingle boilerplate scoring, top-100")
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     shingles = F.expr(
         "transform(sequence(1, greatest(length(t) - 4, 1)), i -> substring(t, i, 5))"
     )
@@ -453,7 +462,7 @@ WHERE rk <= 10
 
 @register("q73_boilerplate_ngrams", _Q73_ORACLE, "per-source top document-frequency 5-grams")
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     grams = F.expr(
         "transform(sequence(1, greatest(size(w) - 2, 1)),"
         " i -> concat_ws(' ', slice(w, i, 3)))"

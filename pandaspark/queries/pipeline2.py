@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4, sha_int, sql_round4, sql_sha_int
+from . import load, register, round4, sha_int, spread, sql_round4, sql_sha_int
 from .text import _norm_text
 
 
@@ -114,7 +114,7 @@ LIMIT 100
 
 @register("q75_rare_token_score", _Q75_ORACLE, "rare-token fraction quality score, top-100")
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     words = d.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("term")).filter(
         F.col("term") != ""
     )
@@ -231,7 +231,7 @@ UNION ALL SELECT 4, 'lang_whitelist', n4 FROM agg
 
 @register("q77_quality_funnel", _Q77_ORACLE, "cumulative quality-gate survival funnel")
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     shingles = F.expr(
         "transform(sequence(1, greatest(length(t) - 4, 1)), i -> substring(t, i, 5))"
     )

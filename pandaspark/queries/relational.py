@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..rules import PredicateRule, SubstringRule, apply_cascade, rules_from_map
-from . import cents_avg, cents_sum, load, register, sql_cents_avg, sql_cents_sum
+from . import cents_avg, cents_sum, load, register, spread, sql_cents_avg, sql_cents_sum
 
 
 def cents(c):
@@ -135,7 +135,7 @@ FROM p
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import parse_german_number
 
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem").select("l_extendedprice"))
     dec_price = F.col("l_extendedprice").cast("decimal(12,2)")
     german = F.regexp_replace(dec_price.cast("string"), r"\.", ",")
     p = li.select(
@@ -163,7 +163,11 @@ FROM orders
 
 @register("q06_fingerprint", _Q06_ORACLE, "sha2 content fingerprint, null-padded concat")
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    o = spread(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+        )
+    )
     fp = F.sha2(
         F.concat_ws(
             "|",
@@ -311,6 +315,17 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q12: deterministic first-wins dedup (A8 J2) --------------------------
 
+
+def _bounded(c: Column | str, limit: int, what: str | None = None) -> Column:
+    """Pass `c` through unchanged while asserting 0 <= c < limit at runtime
+    (codegen branch; raise_error only evaluates on violation)."""
+    col = F.col(c) if isinstance(c, str) else c
+    name = what or (c if isinstance(c, str) else "packed field")
+    return F.when((col >= 0) & (col < limit), col).otherwise(
+        F.raise_error(F.lit(f"{name} out of [0, {limit}) packing bound"))
+    )
+
+
 # NB: the tie-break must be a TOTAL order within the dedup key — the data
 # contains groups tied on (l_linenumber, l_suppkey) alone, where "first"
 # would be engine-sort-stability luck; l_quantity completes the order.
@@ -323,26 +338,36 @@ QUALIFY row_number() OVER (
 """
 
 
-@register("q12_dedup_first_wins", _Q12_ORACLE, "existing-wins dedup via min_by (not dropDuplicates)")
+@register("q12_dedup_first_wins", _Q12_ORACLE, "existing-wins dedup via packed-bigint min aggregate")
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic first-wins dedup (the J2 'existing row wins' semantic —
     never dropDuplicates, which keeps an arbitrary row). Executed as a
-    min_by hash aggregate rather than a row_number window: partial
-    aggregation means each map task ships ONE candidate row per key into
-    the shuffle instead of every row, and no per-group sort happens — the
-    shape that wins when dup rates are high at 100 TB. The oracle stays the
-    independent QUALIFY row_number definition; the tie-break struct is a
+    hash aggregate rather than a row_number window: partial aggregation
+    means each map task ships ONE candidate row per key into the shuffle
+    instead of every row, and no per-group sort happens — the shape that
+    wins when dup rates are high at 100 TB. The oracle stays the
+    independent QUALIFY row_number definition; the packed tie-break is a
     total order within the group, so both forms pick the same row."""
     li = load(spark, sf_dir, "lineitem")
-    first = F.min_by(
-        F.struct("l_suppkey", "l_quantity"),
-        F.struct("l_linenumber", "l_suppkey", "l_quantity"),
-    ).alias("_w")
+    # The tie-break tuple packs into ONE bigint so the aggregate is a
+    # primitive min() inside whole-stage codegen instead of an
+    # ObjectHashAggregate min_by over structs (measured 1.74s -> 0.94s at
+    # sf0.1; same map-side-partial shape). Packing is order-preserving
+    # because each field is range-bounded; the guards turn a bound
+    # violation into a loud error, never a silently wrong winner — and
+    # `store.merge_import`/min_by remains the general-domain form.
+    ln = _bounded("l_linenumber", 10**6)
+    sk = _bounded("l_suppkey", 10**7)
+    qc = _bounded(F.round(F.col("l_quantity") * 100), 10**5, "l_quantity cents")
+    pack = ln.cast("long") * F.lit(10**12) + sk.cast("long") * F.lit(10**5) + qc.cast("long")
     return (
         li.groupBy("l_orderkey", "l_partkey")
-        .agg(first)
+        .agg(F.min(pack).alias("_p"))
         .select(
-            "l_orderkey", "l_partkey", F.col("_w.l_suppkey"), F.col("_w.l_quantity")
+            "l_orderkey",
+            "l_partkey",
+            (F.col("_p") % F.lit(10**12) / F.lit(10**5)).cast("long").alias("l_suppkey"),
+            ((F.col("_p") % F.lit(10**5)).cast("double") / 100.0).alias("l_quantity"),
         )
     )
 

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import asof_join_bucketed, latest_per_key
-from . import load, register, sql_cents_sum, cents_sum
+from . import load, register, spread, sql_cents_sum, cents_sum
 from .relational import cents
 
 
@@ -25,7 +25,10 @@ GROUP BY l_returnflag
 
 @register("q27_quantiles", _Q27_ORACLE, "exact interpolated percentile over integer cents")
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # exact percentile is an object-hash aggregate (per-partition value
+    # maps); prune to the two live columns and spread the map side so the
+    # partial maps build on all cores
+    li = spread(load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"))
     c = cents("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
         (F.percentile(c, 0.5) / 100.0).alias("median_price"),

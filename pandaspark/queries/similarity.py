@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4
+from . import load, register, round4, spread
 
 _K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -58,7 +58,7 @@ QUALIFY rk <= {_K}
 
 @register("q40_cosine_topk", _Q40_ORACLE, "brute-force cosine top-k ANN baseline")
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

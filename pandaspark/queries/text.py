@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4, sha_int, sql_sha_int
+from . import load, register, round4, sha_int, spread, sql_sha_int
 
 
 def _norm_text(c="text"):
@@ -38,7 +38,7 @@ GROUP BY lang
 
 @register("q30_exact_dedup", _Q30_ORACLE, "normalized sha256 content-hash dedup stats")
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     h = d.select("lang", F.sha2(_norm_text(), 256).alias("doc_hash"))
     return h.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -63,7 +63,7 @@ GROUP BY lang
 
 @register("q31_text_stats", _Q31_ORACLE, "char/token/punctuation counts per language")
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     tokens = F.regexp_count("text", F.lit(r"\S+"))
     punct = F.regexp_count("text", F.lit(r"[.,;:!?]"))
     return d.groupBy("lang").agg(
@@ -96,7 +96,7 @@ GROUP BY lang
 
 @register("q32_lang_score", _Q32_ORACLE, "stopword-hit language-ID signal per lang")
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     lower = F.lower(F.col("text"))
 
     def hits(w: str):

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load, register, round4
+from . import load, register, round4, spread
 from .text import _norm_text
 
 # --- q38: 16-bit SimHash signatures ---------------------------------------
@@ -123,7 +123,7 @@ FROM s GROUP BY lang
 
 @register("q39_quality_score", _Q39_ORACLE, "heuristic doc quality score, per-lang stats")
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     chars = F.length("text")
     toks = F.regexp_count("text", F.lit(r"\S+"))
     # single-char-class counts via translate (delete the class, diff the
@@ -184,7 +184,7 @@ FROM c GROUP BY lang
 
 @register("q43_bpe_tokens", _Q43_ORACLE, "BPE-style pre-tokenizer counts per lang")
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     bpe = F.regexp_count("text", F.lit(_BPE_RE))
     ws = F.regexp_count("text", F.lit(r"\S+"))
     c = d.select("lang", bpe.alias("bpe"), ws.alias("ws"))
@@ -292,7 +292,7 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 
 @register("q57_fuzzy_match", _Q57_ORACLE, "dist<=1 fuzzy self-join via SymSpell delete variants")
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load(spark, sf_dir, "supplier").select("s_name")
+    s = spread(load(spark, sf_dir, "supplier").select("s_name"))
     # variants = the name itself (catches pure insert/delete) + every
     # single-character deletion; explode → (variant, name). Built with
     # F.expr because substring with a per-element dynamic length needs the
@@ -339,7 +339,7 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-lang top-k window on the already-tiny aggregate."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     words = d.select(
         "lang", F.explode(F.split(_norm_text(), " ")).alias("word")
     ).filter(F.col("word") != "")

