@@ -164,7 +164,7 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     N×Q collapses to per-bucket joins. Hyperplanes are literal constants
     (see _plane_component), making the bucketing oracle-checkable.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     # one column per plane bit, combined AFTER the aggregate: the bits are
     # bit-disjoint so grouping on them == grouping on the bucket, and the
     # HashAggregate boundary stops CollapseProject from re-fusing the eight
@@ -350,7 +350,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero shuffle; q40 is the exact-recall baseline for comparison.
     The probe score is round4'd with a deterministic cell tie-break, so the
     probed cell is engine-independent."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     # single F.expr call for the 64 micro-unit means (see _sign_bit_spark
     # on why: per-Column py4j composition costs seconds of driver time)
     centroid_terms = ", ".join(

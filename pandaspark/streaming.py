@@ -212,6 +212,7 @@ def stream_upsert_to_store(
     store_path: str,
     apply_batch: Callable[[DataFrame, DataFrame], DataFrame],
     checkpoint: str,
+    prepare_first: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """foreachBatch exactly-once sink: every micro-batch runs the SAME
     merge as the batch path (e.g. store.upsert) against the CURRENT store
@@ -232,7 +233,12 @@ def stream_upsert_to_store(
         spark = batch_df.sparkSession
         current = latest_commit_path(spark, store_path)
         store = spark.read.parquet(current) if current is not None else None
-        merged = batch_df if store is None else apply_batch(store, batch_df)
+        if store is None:
+            # no snapshot yet: the first batch seeds the store (optionally
+            # normalized by prepare_first, e.g. within-batch dedup)
+            merged = prepare_first(batch_df) if prepare_first else batch_df
+        else:
+            merged = apply_batch(store, batch_df)
         commit_snapshot(merged, store_path)
         gc_snapshots(spark, store_path, keep=2)
 
@@ -241,3 +247,54 @@ def stream_upsert_to_store(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_dedup_corpus(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+):
+    """Streaming incremental corpus dedup — the streaming twin of registry
+    q79 (queries/pipeline2.py) and the live form of the reference's
+    import-loop dedup (panda.py:736-745: new batch vs existing rows, first
+    wins): each micro-batch of documents is content-hashed (normalized
+    sha256, same family as q30/q79), anti-joined against the committed
+    corpus snapshot, deduplicated within the batch (min doc_id wins —
+    deterministic, never dropDuplicates), and only novel docs append into
+    the next snapshot.
+
+    Composes stream_upsert_to_store's exactly-once commit protocol: a
+    replayed micro-batch re-hashes to the same keys and anti-joins to
+    nothing, so retries are no-ops; a crash mid-commit leaves the previous
+    snapshot readable. At scale the anti-join shuffles on the 32-byte hash
+    against a corpus-sized store — the same plan as q79's batch form.
+    """
+    hash_expr = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256
+    )
+
+    def _dedup_merge(store: DataFrame, batch: DataFrame) -> DataFrame:
+        batch = batch.withColumn("_h", hash_expr)
+        # within-batch first-wins (deterministic min doc_id per hash)
+        w_first = batch.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        batch = batch.join(w_first, ["_h", "doc_id"], "left_semi")
+        novel = batch.join(store.select("_h"), "_h", "left_anti")
+        return store.unionByName(novel)
+
+    def _first_batch(batch: DataFrame) -> DataFrame:
+        batch = batch.withColumn("_h", hash_expr)
+        w_first = batch.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        return batch.join(w_first, ["_h", "doc_id"], "left_semi")
+
+    return stream_upsert_to_store(
+        doc_stream,
+        store_path,
+        lambda store, batch: _dedup_merge(store, _strip(batch)),
+        checkpoint,
+        prepare_first=_first_batch,
+    )
+
+
+def _strip(df: DataFrame) -> DataFrame:
+    return df.drop("_h") if "_h" in df.columns else df

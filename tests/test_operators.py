@@ -128,3 +128,51 @@ def test_two_phase_running_total_equals_global_window(spark):
     # the only Exchange SinglePartition allowed is the tiny offsets branch
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower().replace(" ", "")
+
+
+def test_sequence_packing_prefix_equals_two_phase_form(spark):
+    """q74's per-lang exclusive prefix sum (the window form) must equal the
+    100 TB composition its docstring promises: a GLOBAL two-phase running
+    total over (lang, doc_id) minus broadcast per-lang start offsets —
+    no partition-width window anywhere in that path."""
+    from pyspark.sql import Window
+
+    from pandaspark.operators import two_phase_running_total
+    from pandaspark.queries import load as qload
+
+    from .conftest import SF_DIR
+
+    d = (
+        qload(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        )
+    )
+    # window (anchor) form
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    anchor = d.select(
+        "doc_id",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")).alias("prev"),
+    )
+    # two-phase form: global inclusive cumsum over (lang, doc_id), then
+    # subtract the per-lang prefix offset and the row's own value
+    cum = two_phase_running_total(
+        d, ["lang", "doc_id"], F.col("n_tokens"), alias="_cum"
+    )
+    lang_tot = cum.groupBy("lang").agg(
+        (F.min(F.col("_cum") - F.col("n_tokens"))).alias("_lang_start")
+    )
+    two_phase = cum.join(F.broadcast(lang_tot), "lang").select(
+        "doc_id",
+        (F.col("_cum") - F.col("n_tokens") - F.col("_lang_start")).alias("prev"),
+    )
+    a = {r.doc_id: r.prev for r in anchor.collect()}
+    b = {r.doc_id: r.prev for r in two_phase.collect()}
+    assert a == b

@@ -183,3 +183,69 @@ def test_stream_upsert_chains_micro_batches(spark, tmp_path):
     # batch 1's rows in the store it read
     bumped = [v for v in g.values() if v >= 1000.0]
     assert len(bumped) == s1.count()
+
+
+def test_stream_dedup_corpus_matches_sequential_first_wins(spark, tmp_path):
+    """Streaming incremental corpus dedup (the q79 twin): three doc
+    micro-batches with within-batch AND cross-batch content duplicates;
+    the final snapshot must contain exactly the first-winning doc per
+    normalized content hash, where "first" = earliest batch, then lowest
+    doc_id. The expectation is an independent Python fold (hashlib + re),
+    not the Spark code under test."""
+    import hashlib
+    import re as _re
+
+    from pandaspark.streaming import stream_dedup_corpus
+
+    docs = [r.asDict() for r in load(spark, SF_DIR, "documents")
+            .filter(F.col("text").isNotNull()).limit(60).collect()]
+    assert len(docs) == 60
+    b1, b2, b3 = docs[:20], docs[20:40], docs[40:60]
+    # cross-batch dups: 5 docs of batch 2 re-deliver batch-1 texts
+    for i in range(5):
+        b2[i]["text"] = b1[i]["text"]
+    # within-batch dups in batch 3 (two clones of one text, higher doc_ids)
+    b3[10]["text"] = b3[2]["text"]
+    b3[11]["text"] = b3[2]["text"]
+    # and batch-3 re-delivery of a batch-2-only text
+    b3[12]["text"] = b2[7]["text"]
+
+    src = tmp_path / "docs_src"
+    doc_schema = load(spark, SF_DIR, "documents").schema
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, schema=doc_schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    root = str(tmp_path / "corpus_store")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/f*")
+    )
+    q = stream_dedup_corpus(stream, root, checkpoint=str(tmp_path / "ck_dedup"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # independent first-wins fold
+    def norm_hash(text):
+        return hashlib.sha256(_re.sub(r"\s+", " ", text.lower()).strip().encode()).hexdigest()
+
+    want: dict[str, int] = {}
+    for batch in (b1, b2, b3):
+        for row in sorted(batch, key=lambda r: r["doc_id"]):
+            want.setdefault(norm_hash(row["text"]), row["doc_id"])
+
+    from pandaspark.store import latest_commit_path
+
+    got = spark.read.parquet(latest_commit_path(spark, root))
+    got_rows = {r.doc_id: r._h for r in got.select("doc_id", "_h").collect()}
+    assert set(got_rows.keys()) == set(want.values())
+    assert len(got_rows) == len(want)
+    # committed hash column agrees with the independent hash
+    inv = {v: k for k, v in want.items()}
+    for doc_id, h in got_rows.items():
+        assert h == inv[doc_id]
