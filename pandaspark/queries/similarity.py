@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4, spread
+from . import load, register, round4, spread, sql_round4
 
 _K = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -384,4 +384,53 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("qid", "cell", "vec_id", cosine.alias("cosine"))
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _K)
+    )
+
+
+# --- q80: ANN recall evaluation (IVF vs exact baseline) --------------------
+#
+# The index-quality report every ANN deployment runs: per query vector,
+# recall@k of the 1-probe IVF search (q46) against the exact brute-force
+# top-k (q40). This is the feedback loop that tunes nlist/nprobe before a
+# 100 TB index build — and it is pure composition: both sides are the
+# registry's own (already oracle-checked) plans, joined on (qid, vec_id).
+# The oracle nests both queries' SQL verbatim as CTEs, so the measurement
+# itself is hash-checked cross-engine.
+
+_Q80_ORACLE = f"""
+WITH exact_tk AS ({_Q40_ORACLE}),
+approx_tk AS ({_Q46_ORACLE}),
+hits AS (
+  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+  FROM approx_tk a JOIN exact_tk e ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY a.qid
+),
+ex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM exact_tk GROUP BY qid)
+SELECT ex.qid, ex.n_exact,
+       coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       {sql_round4('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)')}
+         AS recall
+FROM ex LEFT JOIN hits h USING (qid)
+"""
+
+
+@register("q80_ann_recall", _Q80_ORACLE, "recall@k of IVF ANN vs exact cosine baseline")
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q40(spark, sf_dir).select("qid", "vec_id")
+    approx = q46(spark, sf_dir).select("qid", "vec_id")
+    hits = (
+        approx.join(exact, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ex = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    zero = F.lit(0).cast("long")
+    recall = round4(
+        F.coalesce(F.col("n_hit"), zero).cast("double") / F.col("n_exact").cast("double")
+    )
+    return ex.join(hits, "qid", "left").select(
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), zero).alias("n_hit"),
+        recall.alias("recall"),
     )
