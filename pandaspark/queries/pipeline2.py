@@ -356,3 +356,149 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_dup"), zero).alias("n_dup"),
         (F.col("n_new") - F.coalesce(F.col("n_dup"), zero)).alias("n_kept"),
     )
+
+
+# --- q81: per-user anomaly detection (exact 3-sigma, no sqrt) ---------------
+#
+# Outlier flagging for event streams: an event is anomalous when
+# |x - mean| > 3*stddev within its user's history. Both sides are squared
+# and cross-multiplied into pure BIGINT arithmetic over exact cents —
+# (n*x - S)^2 > 9*(n*S2 - S^2) — so no sqrt, no float variance, no
+# engine-dependent summation order; magnitudes stay under 2^63 for any
+# realistic per-user history (n ~ 1e5, cents ~ 1e6 => terms ~ 1e22 would
+# overflow — the guard below keeps the op honest if data outgrows it).
+# Plan: one scan -> per-user aggregate (tiny) -> broadcast join back ->
+# filter. The aggregate and the join share the user_id key.
+
+_Q81_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, value,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, c.event_id, c.value
+FROM c JOIN s USING (user_id)
+WHERE (s.n * c.x - s.s1) * (s.n * c.x - s.s1) > 9 * (s.n * s.s2 - s.s1 * s.s1)
+"""
+
+
+@register("q81_anomaly_events", _Q81_ORACLE, "exact integer 3-sigma outlier events per user")
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    x = F.round(F.col("value") * 100).cast("long")
+    c = e.select("user_id", "event_id", "value", x.alias("x"))
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    j = c.join(F.broadcast(s), "user_id")
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    # (n*x - S1)^2 > 9 * (n*S2 - S1^2): |x - mean| > 3*stddev, exactly
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return j.filter(dev * dev > 9 * var_n2).select("user_id", "event_id", "value")
+
+
+# --- q82: char-trigram language classifier (train/test + confusion matrix) --
+#
+# A real language-ID model (vs q32's stopword heuristic), built and
+# evaluated inside the engine: per-language character-trigram profiles
+# (top-40 by document frequency) learned from a deterministic train split
+# (doc_id % 5 != 0), held-out docs classified by profile-overlap count
+# (argmax score, ties to the lexicographically first language), reported
+# as a confusion matrix. Everything is exact integer counting — no tf-idf
+# floats — so the whole train->classify->evaluate loop is value-hash
+# checkable cross-engine. Plan at 100 TB: trigram explode -> (lang, gram)
+# hash-agg; the learned profile is tiny (langs x 40) and BROADCASTS onto
+# the test scan — the classic learn-small/apply-wide shape.
+
+_PROF_K = 40
+_TEST_MOD = 5
+
+_Q82_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct([substring(t, i, 3)
+                FOR i IN range(1, greatest(length(t) - 2, 1) + 1)])) AS g
+  FROM norm
+),
+prof AS (
+  SELECT lang, g FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+    FROM grams WHERE doc_id % {_TEST_MOD} != 0 GROUP BY lang, g)
+  WHERE rk <= {_PROF_K}
+),
+scores AS (
+  SELECT tg.doc_id, p.lang AS cand, CAST(count(*) AS BIGINT) AS score
+  FROM (SELECT doc_id, g FROM grams WHERE doc_id % {_TEST_MOD} = 0) tg
+  JOIN prof p ON p.g = tg.g
+  GROUP BY tg.doc_id, p.lang
+),
+pred AS (
+  SELECT doc_id, cand AS pred_lang FROM (
+    SELECT doc_id, cand,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+    FROM scores) WHERE rk = 1
+)
+SELECT n.lang AS true_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred p JOIN norm n USING (doc_id)
+GROUP BY n.lang, p.pred_lang
+"""
+
+
+@register("q82_lang_classifier", _Q82_ORACLE, "trigram-profile lang-ID with confusion matrix")
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    tc = F.col("t")
+    trigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tc) - 2, F.lit(1))),
+            lambda i: F.substring(tc, i, F.lit(3)),
+        )
+    )
+    grams = d.select("doc_id", "lang", _norm_text().alias("t")).select(
+        "doc_id", "lang", F.explode(trigrams).alias("g")
+    )
+    train_df = (
+        grams.filter(F.col("doc_id") % _TEST_MOD != 0)
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("df").desc(), "g")
+    prof = (
+        train_df.withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= _PROF_K)
+        .select("lang", "g")
+    )
+    scores = (
+        grams.filter(F.col("doc_id") % _TEST_MOD == 0)
+        .select("doc_id", "g")
+        .join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .withColumnRenamed("lang", "cand")
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w_pred))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+    truth = d.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
