@@ -236,6 +236,36 @@ def write_store(df: DataFrame, path: str, partition_by_year: bool = True) -> Non
     commit_snapshot(out, path, partition_by=["book_year"] if partition_by_year else None)
 
 
+def compact_store(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Small-files compaction (the OPTIMIZE-shaped maintenance op):
+    rewrite the CURRENT snapshot into `target_files` files (per partition
+    when `partition_by` is given) as a brand-new committed version.
+
+    Streaming upserts accrete one file set per micro-batch commit; at
+    100 TB that means ever-more, ever-smaller files — more scan tasks,
+    smaller row groups, weaker column statistics. Periodic compaction
+    restores scan shape without changing a single row: readers never see a
+    half-compacted store (the new version only becomes current at its
+    _SUCCESS marker), the pre-compaction snapshot stays in the time-travel
+    window, and a crash mid-compaction is an ignorable garbage directory.
+    Content-neutrality is asserted by test (exact row multiset equality).
+    """
+    current = latest_commit_path(spark, root)
+    if current is None:
+        raise FileNotFoundError(f"no committed store snapshot under {root}")
+    df = spark.read.parquet(current)
+    if partition_by:
+        out = df.repartition(target_files, *partition_by)
+    else:
+        out = df.coalesce(target_files)
+    return commit_snapshot(out, root, partition_by=partition_by)
+
+
 def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
     """Committed snapshot versions, oldest first (the time-travel axis)."""
     return sorted(v for v, ok in _version_dirs(spark, root).items() if ok)

@@ -249,3 +249,39 @@ def test_stream_dedup_corpus_matches_sequential_first_wins(spark, tmp_path):
     inv = {v: k for k, v in want.items()}
     for doc_id, h in got_rows.items():
         assert h == inv[doc_id]
+
+
+def test_compact_store_is_content_neutral_and_versioned(spark, tmp_path):
+    """Compaction must rewrite the current snapshot into fewer files as a
+    NEW version: identical row multiset, fewer data files, old snapshot
+    still readable through time travel."""
+    from pandaspark.store import (
+        commit_snapshot,
+        compact_store,
+        latest_commit_path,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "cstore")
+    base = load(spark, SF_DIR, "orders").limit(200)
+    commit_snapshot(base.repartition(8), root)
+    v_before = snapshot_versions(spark, root)
+    p_before = latest_commit_path(spark, root)
+    files_before = [
+        f for f in os.listdir(p_before) if f.endswith(".parquet")
+    ]
+    assert len(files_before) == 8
+
+    compact_store(spark, root, target_files=1)
+
+    p_after = latest_commit_path(spark, root)
+    assert p_after != p_before
+    assert snapshot_versions(spark, root) == v_before + [v_before[-1] + 1]
+    files_after = [f for f in os.listdir(p_after) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    a = spark.read.parquet(p_before)
+    b = spark.read.parquet(p_after)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # pre-compaction version remains in the time-travel window
+    old = spark.read.parquet(p_before)
+    assert old.count() == 200
