@@ -494,3 +494,110 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("view_ts") <= F.col("click_ts")),
     ).select("user_id", "click_event", "view_event")
+
+
+# --- q83: min-cost supplier per part (TPC-H Q2 shape) -----------------------
+#
+# The correlated-scalar-min pattern: for each small part, the supplier(s)
+# quoting the minimum unit price within EUROPE. No partsupp table ships in
+# the fixtures, so the price relation is lineitem's observed unit price in
+# exact integer MILLI-CENTS ((cents * 1000) div qty — quantities are
+# integral, so this is exact and engine-identical; floats never decide the
+# min or the join-back equality). Plan: hash-agg min per part -> join back
+# on (part, unit == min) -> broadcast dim chain; ties keep every achieving
+# supplier (Q2 semantics) — deterministic as a set.
+
+_Q83_ORACLE = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+           // CAST(round(l_quantity) AS BIGINT) AS unit_mc
+  FROM lineitem
+),
+mins AS (SELECT l_partkey, CAST(min(unit_mc) AS BIGINT) AS min_mc FROM unit GROUP BY l_partkey),
+best AS (
+  SELECT DISTINCT u.l_partkey, u.l_suppkey, u.unit_mc
+  FROM unit u JOIN mins m ON m.l_partkey = u.l_partkey AND u.unit_mc = m.min_mc
+)
+SELECT p.p_partkey, p.p_size, s.s_name, n.n_name,
+       CAST(b.unit_mc AS DOUBLE) / 100000.0 AS min_unit_price
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size < 10
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+"""
+
+
+@register("q83_min_cost_supplier", _Q83_ORACLE, "correlated min + join-back + dim chain (TPC-H Q2 shape)")
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    unit_mc = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 1000"
+        " div CAST(round(l_quantity) AS BIGINT)"
+    )
+    unit = li.select("l_partkey", "l_suppkey", unit_mc.alias("unit_mc"))
+    mins = unit.groupBy("l_partkey").agg(F.min("unit_mc").alias("min_mc"))
+    best = (
+        unit.join(mins, "l_partkey")
+        .filter(F.col("unit_mc") == F.col("min_mc"))
+        .select("l_partkey", "l_suppkey", "unit_mc")
+        .distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey", "p_size")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_partkey",
+            "p_size",
+            "s_name",
+            "n_name",
+            (F.col("unit_mc").cast("double") / 100000.0).alias("min_unit_price"),
+        )
+    )
+
+
+# --- q84: explicit GROUPING SETS (disjoint axes) ----------------------------
+#
+# The grouping-sets form rollup/cube canNOT express: two disjoint
+# single-dimension axes in one pass — per returnflag totals AND per
+# linestatus totals from one scan, distinguished by grouping_id. One
+# expand + hash-agg, map-side partials intact.
+
+_Q84_ORACLE = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_cents_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("q84_grouping_sets", _Q84_ORACLE, "disjoint-axis GROUPING SETS with grouping_id")
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            cents_sum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )
