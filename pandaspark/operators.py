@@ -173,6 +173,35 @@ def range_join_bucketed(
     ).drop("_bucket")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot join key funnels all its rows into
+    ONE reducer of a shuffle join — the classic straggler at 100 TB. Here
+    each left row gets a deterministic salt in [0, salt) (hash of the full
+    row, so retries re-salt identically) and the right side replicates once
+    per salt value; joining on (key, salt) spreads a hot key's probe work
+    across `salt` tasks at the cost of salt-times the (small but
+    unbroadcastable) right side. Exact-equal to the plain join by test.
+
+    Use when the right side is too big to broadcast AND the left is
+    skewed; with AQE on, skew-join splitting does this adaptively for
+    sort-merge joins — this is the static, plan-deterministic form (the
+    join sibling of q50's salted two-phase aggregation)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lefts = left.withColumn("_salt", l_salt)
+    rights = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return lefts.join(rights, [on, "_salt"], how).drop("_salt")
+
+
 def latest_per_key(
     df: DataFrame, keys: list[str], order_by: list[str]
 ) -> DataFrame:

@@ -531,7 +531,22 @@ JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
 
 @register("q83_min_cost_supplier", _Q83_ORACLE, "correlated min + join-back + dim chain (TPC-H Q2 shape)")
 def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    # The part predicate cannot be pushed into the lineitem scan by
+    # Catalyst (it lives on another table), so push it BY CONSTRUCTION: a
+    # broadcast semi-join prunes lineitem to eligible parts' rows before
+    # any aggregation — the min/join-back then runs on the small survivor
+    # set. At 100 TB this is the difference between aggregating the whole
+    # fact table and aggregating the ~2% that can reach the output.
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey", "p_size")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+    )
     unit_mc = F.expr(
         "CAST(round(l_extendedprice * 100) AS BIGINT) * 1000"
         " div CAST(round(l_quantity) AS BIGINT)"
@@ -539,12 +554,11 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = li.select("l_partkey", "l_suppkey", unit_mc.alias("unit_mc"))
     mins = unit.groupBy("l_partkey").agg(F.min("unit_mc").alias("min_mc"))
     best = (
-        unit.join(mins, "l_partkey")
+        unit.join(F.broadcast(mins), "l_partkey")
         .filter(F.col("unit_mc") == F.col("min_mc"))
         .select("l_partkey", "l_suppkey", "unit_mc")
         .distinct()
     )
-    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey", "p_size")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")

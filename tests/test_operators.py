@@ -176,3 +176,31 @@ def test_sequence_packing_prefix_equals_two_phase_form(spark):
     a = {r.doc_id: r.prev for r in anchor.collect()}
     b = {r.doc_id: r.prev for r in two_phase.collect()}
     assert a == b
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    """salted_join must produce exactly the plain join's row multiset on a
+    deliberately skewed key distribution (half the probe side shares one
+    key), for both inner and left joins."""
+    from pandaspark.operators import salted_join
+    from .conftest import SF_DIR
+    from pandaspark.queries import load as qload
+
+    li = qload(spark, SF_DIR, "lineitem").limit(2000)
+    # skew: ~half the rows collapse onto key 1; the rest keep natural keys
+    left = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_partkey",
+        "l_quantity",
+    )
+    o = qload(spark, SF_DIR, "orders").limit(500)
+    right = o.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", salt=8, how=how)
+        assert salted.columns == plain.columns
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
