@@ -615,3 +615,78 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- q85: equi-width histogram (exact integer buckets) ----------------------
+#
+# The profiling primitive behind every engine's `histogram()`: price
+# distribution per return flag in fixed 5000-cent buckets. Bucketing is
+# integer floor-division on exact cents, so bucket membership can never
+# drift between engines; the aggregate is one hash-agg whose output is
+# bounded by (flags x buckets), and map-side partials mean the scan ships
+# only bucket counts into the shuffle.
+
+_BUCKET_CENTS = 500000  # 5000.00 per bucket
+
+_Q85_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(round(l_extendedprice * 100) AS BIGINT) // {_BUCKET_CENTS} AS bucket,
+       CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // {_BUCKET_CENTS}
+            * {_BUCKET_CENTS} AS BIGINT) / 100.0 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) // {_BUCKET_CENTS}
+"""
+
+
+@register("q85_histogram", _Q85_ORACLE, "exact equi-width price histogram per flag")
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bucket = F.expr(
+        f"CAST(round(l_extendedprice * 100) AS BIGINT) div {_BUCKET_CENTS}"
+    )
+    return (
+        li.select("l_returnflag", bucket.alias("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            "bucket",
+            ((F.col("bucket") * _BUCKET_CENTS).cast("long") / F.lit(100.0)).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+# --- q86: event-sequence transition mining (Markov matrix) ------------------
+#
+# Sequence analytics over the event stream: per user ordered by (ts,
+# event_id), count (event_type -> next event_type) transitions — the
+# first-order Markov matrix behind session-flow and funnel analysis. The
+# lead() window partitions on user_id (bounded width: one user's history),
+# and the transition matrix is a tiny (types x types) aggregate.
+
+_Q86_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register("q86_event_transitions", _Q86_ORACLE, "event-type transition counts (Markov matrix)")
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
