@@ -166,3 +166,15 @@ def test_exact_dedup_hashes_map_side_before_shuffle(spark):
     assert plan.index("sha2") > plan.index("Exchange"), "hash computed after shuffle"
     scan_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "doc_id" not in scan_schema, "scan reads columns the query never uses"
+
+
+def test_spread_keeps_pushdown_and_pruning_at_the_scan(spark):
+    """spread() (the scan-parallelism equalizer) must sit ABOVE the scan's
+    pushed filters and column pruning: its repartition shuffle may only
+    carry surviving rows of needed columns. Guards against a future edit
+    spreading before filtering."""
+    plan = formatted_plan(spark, "q70_repetition_score")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "IsNotNull(text)" in pushed
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "source" not in read_schema
