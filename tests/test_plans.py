@@ -178,3 +178,49 @@ def test_spread_keeps_pushdown_and_pruning_at_the_scan(spark):
     assert "IsNotNull(text)" in pushed
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "text" in read_schema and "source" not in read_schema
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """Runtime Bloom-filter join pruning — the 100 TB lever for selective
+    fact⋈dim SHUFFLE joins (broadcast joins get pushed filters instead):
+    Spark injects a bloom_filter_agg on the filtered build side and
+    semi-filters the probe side's scan before the shuffle. Fixture tables
+    sit far under the production creationSideThreshold (10MB), so the test
+    lowers the eligibility thresholds to prove the engine config leaves the
+    feature ON and the plan shape is available; at scale the defaults
+    govern."""
+    from pyspark.sql import functions as F
+
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, SF_DIR, "lineitem")
+        o = load(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 500000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
