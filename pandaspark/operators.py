@@ -173,6 +173,96 @@ def range_join_bucketed(
     ).drop("_bucket")
 
 
+def exact_quantiles_two_phase(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    qs: list[float],
+) -> DataFrame:
+    """Exact interpolated quantiles per group WITHOUT the object-hash
+    percentile aggregate — the 100 TB form of q27's `F.percentile`.
+
+    The built-in exact percentile materializes every group's full value
+    multiset inside the aggregation buffer (ObjectHashAggregate) — at
+    100 TB a hot group's buffer is the group, i.e. an executor OOM. This
+    operator computes the same numbers from distributed order statistics;
+    no task ever holds more than one partition:
+
+      1. range-partition by (group, value): global order without a global
+         sort; per-partition local ranks via a window bounded by partition
+         width;
+      2. per-(partition, group) counts prefix-sum into broadcast offsets →
+         exact global rank of every row within its group;
+      3. each quantile needs only ranks floor(pos) and floor(pos)+1
+         (pos = q*(n-1)) — two rows per (group, q) join against the ranked
+         frame; linear interpolation `v_lo + (v_hi - v_lo) * frac` is the
+         same IEEE expression Spark's Percentile and DuckDB's
+         quantile_cont evaluate, so results are bit-identical (asserted in
+         tests against F.percentile).
+
+    `value` should be an integral column (e.g. exact cents) so ranking is
+    total and engine-portable. Returns one row per group with a column per
+    requested quantile, named q_<percent-with-underscores>."""
+    one = F.lit(1)
+    vals = df.select(F.col(group_col), value.alias("_v"))
+    ranged = vals.repartitionByRange(group_col, "_v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = ranged.groupBy("_pid", group_col).agg(F.count(one).alias("_n"))
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = pc.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0).cast("long"))
+    ).select("_pid", group_col, "_off")
+    local_w = Window.partitionBy("_pid", group_col).orderBy("_v")
+    ranked = (
+        ranged.withColumn("_lr", F.row_number().over(local_w).cast("long") - 1)
+        .join(F.broadcast(off), ["_pid", group_col])
+        .select(F.col(group_col), "_v", (F.col("_lr") + F.col("_off")).alias("_rank"))
+    )
+    sizes = pc.groupBy(group_col).agg(F.sum("_n").alias("_n"))
+    q_structs = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("_q"),
+                (F.lit(q) * (F.col("_n") - 1).cast("double")).alias("_pos"),
+            )
+            for q in qs
+        ]
+    )
+    targets = sizes.select(group_col, "_n", F.explode(q_structs).alias("_t")).select(
+        group_col,
+        F.col("_t._q").alias("_q"),
+        F.col("_t._pos").alias("_pos"),
+        F.floor("_t._pos").cast("long").alias("_lo"),
+        F.least(F.floor("_t._pos").cast("long") + 1, F.col("_n") - 1).alias("_hi"),
+    )
+    lo_j = targets.join(
+        ranked.select(F.col(group_col), F.col("_rank"), F.col("_v").alias("_vlo")),
+        (F.col("_rank") == F.col("_lo")) & (targets[group_col] == ranked[group_col]),
+    ).select(targets[group_col].alias(group_col), "_q", "_pos", "_lo", "_hi", "_vlo")
+    both = lo_j.join(
+        ranked.select(F.col(group_col).alias("_g2"), F.col("_rank"), F.col("_v").alias("_vhi")),
+        (F.col("_rank") == F.col("_hi")) & (F.col(group_col) == F.col("_g2")),
+    )
+    frac = F.col("_pos") - F.floor("_pos")
+    interp = (
+        F.col("_vlo").cast("double")
+        + (F.col("_vhi").cast("double") - F.col("_vlo").cast("double")) * frac
+    )
+    long_form = both.select(F.col(group_col), F.col("_q"), interp.alias("_val"))
+    out = long_form.groupBy(group_col).pivot(
+        "_q", [float(q) for q in qs]
+    ).agg(F.first("_val"))
+    renames = {str(float(q)): f"q_{str(q).replace('.', '_')}" for q in qs}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -25,9 +25,13 @@ GROUP BY l_returnflag
 
 @register("q27_quantiles", _Q27_ORACLE, "exact interpolated percentile over integer cents")
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact percentile is an object-hash aggregate (per-partition value
+    # Exact percentile is an object-hash aggregate (per-partition value
     # maps); prune to the two live columns and spread the map side so the
-    # partial maps build on all cores
+    # partial maps build on all cores. The aggregate buffer holds a group's
+    # value multiset — fine for report-sized groups, an OOM for hot groups
+    # at 100 TB: operators.exact_quantiles_two_phase is the scale form
+    # (range-partitioned order statistics, bit-identical by test); the
+    # registered query keeps the agg form, which wins at report scale.
     li = spread(load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"))
     c = cents("l_extendedprice")
     return li.groupBy("l_returnflag").agg(

@@ -204,3 +204,41 @@ def test_salted_join_equals_plain_join_on_skewed_keys(spark):
         assert salted.columns == plain.columns
         assert plain.exceptAll(salted).count() == 0
         assert salted.exceptAll(plain).count() == 0
+
+
+def test_exact_quantiles_two_phase_equals_builtin_percentile(spark):
+    """The distributed order-statistics quantile must be bit-identical to
+    F.percentile (which is itself oracle-verified against DuckDB's
+    quantile_cont in q27) on the q27 data shape."""
+    from pandaspark.operators import exact_quantiles_two_phase
+    from pandaspark.queries import load as qload
+
+    from .conftest import SF_DIR
+
+    li = qload(spark, SF_DIR, "lineitem").select("l_returnflag", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    want = {
+        r.l_returnflag: (r.m, r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(cents, 0.5).alias("m"),
+            F.percentile(cents, 0.9).alias("p"),
+        )
+        .collect()
+    }
+    got = {
+        r.l_returnflag: (r.q_0_5, r.q_0_9)
+        for r in exact_quantiles_two_phase(
+            li, "l_returnflag", cents, [0.5, 0.9]
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+    # scale property: ranking runs under range partitioning, not a
+    # per-group object aggregate holding the full value multiset
+    plan = (
+        exact_quantiles_two_phase(li, "l_returnflag", cents, [0.5])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    assert "ObjectHashAggregate" not in plan
