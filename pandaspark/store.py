@@ -236,6 +236,61 @@ def write_store(df: DataFrame, path: str, partition_by_year: bool = True) -> Non
     commit_snapshot(out, path, partition_by=["book_year"] if partition_by_year else None)
 
 
+def upsert_to_path(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    backend: str = "parquet",
+) -> str:
+    """The durable MERGE seam (reference: panda.py:713-728 ON CONFLICT
+    upsert). backend='parquet' (default) runs `upsert` against the current
+    snapshot and commits the merge through the versioned atomic protocol —
+    pure Spark, no extra jars. backend='delta' is the documented drop-in:
+    it issues a real `MERGE INTO` keyed on fingerprint when delta-spark is
+    on the classpath, and fails loudly (never silently degrades) when it
+    is not — the call site and semantics stay identical, which is the
+    whole point of the seam.
+
+    Returns the committed snapshot path (parquet) or the table root
+    (delta)."""
+    if backend == "parquet":
+        current = latest_commit_path(spark, root)
+        store = spark.read.parquet(current) if current is not None else None
+        merged = batch if store is None else upsert(store, batch)
+        return commit_snapshot(merged, root)
+    if backend == "delta":
+        try:
+            from delta.tables import DeltaTable  # type: ignore
+        except ImportError as e:  # pragma: no cover - delta not in container
+            raise ImportError(
+                "backend='delta' needs delta-spark on the classpath; "
+                "use backend='parquet' (snapshot-commit upsert) otherwise"
+            ) from e
+        if DeltaTable.isDeltaTable(spark, root):
+            (
+                DeltaTable.forPath(spark, root)
+                .alias("t")
+                .merge(batch.alias("s"), "t.fingerprint = s.fingerprint")
+                .whenMatchedUpdate(
+                    set={
+                        c: f"s.{c}"
+                        for c in (
+                            "transfer_category",
+                            "category",
+                            "category_manual",
+                            "balance_cents",
+                        )
+                    }
+                )
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            batch.write.format("delta").save(root)
+        return root
+    raise ValueError(f"unknown upsert backend: {backend!r}")
+
+
 def compact_store(
     spark: SparkSession,
     root: str,

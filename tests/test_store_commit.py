@@ -285,3 +285,58 @@ def test_compact_store_is_content_neutral_and_versioned(spark, tmp_path):
     # pre-compaction version remains in the time-travel window
     old = spark.read.parquet(p_before)
     assert old.count() == 200
+
+
+def test_upsert_to_path_parquet_backend_and_delta_seam(spark, tmp_path):
+    """The MERGE seam: parquet backend folds batches through the atomic
+    snapshot protocol with ON-CONFLICT semantics (matched rows take the
+    batch's derived fields, keep store identity fields); the delta backend
+    fails loudly without delta-spark instead of silently degrading."""
+    import pytest
+
+    from pandaspark.store import latest_commit_path, upsert_to_path
+
+    root = str(tmp_path / "seam")
+    base = (
+        load(spark, SF_DIR, "orders")
+        .limit(50)
+        .select(
+            F.col("o_orderkey").alias("transaction_id"),
+            F.sha2(F.col("o_orderkey").cast("string"), 256).alias("fingerprint"),
+            F.lit("a").alias("category"),
+            F.lit(None).cast("string").alias("category_manual"),
+            F.lit(None).cast("string").alias("transfer_category"),
+            F.lit(100).cast("long").alias("balance_cents"),
+        )
+    )
+    upsert_to_path(spark, root, base)
+    # second batch: 10 overlapping fingerprints with new category + 5 new rows
+    b2 = (
+        load(spark, SF_DIR, "orders")
+        .limit(65)
+        .select(
+            F.col("o_orderkey").alias("transaction_id"),
+            F.sha2(F.col("o_orderkey").cast("string"), 256).alias("fingerprint"),
+            F.lit("b").alias("category"),
+            F.lit(None).cast("string").alias("category_manual"),
+            F.lit(None).cast("string").alias("transfer_category"),
+            F.lit(200).cast("long").alias("balance_cents"),
+        )
+        .filter(F.col("transaction_id") % 2 == 0)
+    )
+    upsert_to_path(spark, root, b2)
+    got = spark.read.parquet(latest_commit_path(spark, root))
+    n_base, n_b2 = base.count(), b2.count()
+    n_overlap = base.join(b2, "fingerprint", "left_semi").count()
+    assert got.count() == n_base + n_b2 - n_overlap
+    # matched rows took the batch's category
+    assert (
+        got.join(b2.select("fingerprint"), "fingerprint", "left_semi")
+        .filter(F.col("category") != "b")
+        .count()
+        == 0
+    )
+    with pytest.raises((ImportError, ValueError)):
+        upsert_to_path(spark, root, b2, backend="delta")
+    with pytest.raises(ValueError):
+        upsert_to_path(spark, root, b2, backend="iceberg")
