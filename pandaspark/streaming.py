@@ -213,6 +213,7 @@ def stream_upsert_to_store(
     apply_batch: Callable[[DataFrame, DataFrame], DataFrame],
     checkpoint: str,
     prepare_first: Callable[[DataFrame], DataFrame] | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch exactly-once sink: every micro-batch runs the SAME
     merge as the batch path (e.g. store.upsert) against the CURRENT store
@@ -226,8 +227,20 @@ def stream_upsert_to_store(
     is the same property the reference's ON CONFLICT upsert relies on
     (panda.py:713-728). With Delta on the classpath this becomes MERGE
     INTO without changing callers.
+
+    compact_every=N folds store maintenance into the sink: after every Nth
+    committed snapshot the store is rewritten into one file set
+    (store.compact_store) — the operational answer to micro-batch
+    small-file accretion; content-neutral and crash-safe like any other
+    commit.
     """
-    from .store import commit_snapshot, gc_snapshots, latest_commit_path
+    from .store import (
+        commit_snapshot,
+        compact_store,
+        gc_snapshots,
+        latest_commit_path,
+        snapshot_versions,
+    )
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -240,6 +253,10 @@ def stream_upsert_to_store(
         else:
             merged = apply_batch(store, batch_df)
         commit_snapshot(merged, store_path)
+        # version numbers are monotonic even after GC, so every Nth COMMIT
+        # triggers a compaction (which itself commits the next version)
+        if compact_every and max(snapshot_versions(spark, store_path)) % compact_every == 0:
+            compact_store(spark, store_path)
         gc_snapshots(spark, store_path, keep=2)
 
     return (

@@ -340,3 +340,46 @@ def test_upsert_to_path_parquet_backend_and_delta_seam(spark, tmp_path):
         upsert_to_path(spark, root, b2, backend="delta")
     with pytest.raises(ValueError):
         upsert_to_path(spark, root, b2, backend="iceberg")
+
+
+def test_stream_upsert_with_auto_compaction(spark, tmp_path):
+    """compact_every folds maintenance into the sink: content must equal
+    the batch-path fold exactly, and the final snapshot (a compaction
+    commit) must be a single file set."""
+    events = load(spark, SF_DIR, "events").limit(300).cache()
+    src = tmp_path / "csrc"
+    s1 = events.filter(F.col("event_id") % 3 == 0)
+    s2 = events.filter(F.col("event_id") % 3 == 1)
+    s3 = s1.withColumn("value", F.col("value") + 1000.0)
+    for i, s in enumerate((s1, s2, s3)):
+        s.coalesce(2).write.parquet(str(src / f"f{i}"))
+
+    def merge(store, batch):
+        return store.join(batch, "event_id", "left_anti").unionByName(batch)
+
+    root = str(tmp_path / "cstream")
+    q = stream_upsert_to_store(
+        read_event_stream(spark, str(src) + "/f*", max_files_per_trigger=1),
+        root,
+        merge,
+        checkpoint=str(tmp_path / "cck"),
+        compact_every=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pandaspark.store import latest_commit_path
+
+    want = None
+    for i in range(3):
+        b = spark.read.parquet(str(src / f"f{i}"))
+        want = b if want is None else merge(want, b)
+    current = latest_commit_path(spark, root)
+    got = spark.read.parquet(current)
+    g = {r.event_id: r.value for r in got.collect()}
+    w = {r.event_id: r.value for r in want.collect()}
+    assert g == w
+    data_files = [f for f in os.listdir(current) if f.endswith(".parquet")]
+    assert len(data_files) == 1  # last commit was a compaction
