@@ -690,3 +690,65 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- q87: referential-integrity audit (orphan foreign keys) -----------------
+#
+# The data-quality gate run before any multi-table pipeline is trusted:
+# for every foreign-key relation in the schema, count references without a
+# parent. Each relation is one left-anti join on its key; dims broadcast,
+# fact-fact anti-joins shuffle on the key — the audit costs one pass per
+# relation and the report is schema-sized. A non-zero row pinpoints which
+# edge of the schema graph is broken.
+
+_Q87_ORACLE = """
+SELECT relation, n_orphans FROM (
+  SELECT 'lineitem->orders' AS relation, CAST(count(*) AS BIGINT) AS n_orphans
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+  UNION ALL
+  SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+  FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'nation->region', CAST(count(*) AS BIGINT)
+  FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+)
+"""
+
+
+@register("q87_fk_audit", _Q87_ORACLE, "orphan-foreign-key audit across the schema graph")
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, name: str):
+        anti = child.select(F.col(child_key).alias(parent_key)).join(
+            F.broadcast(parent.select(parent_key)), parent_key, "left_anti"
+        )
+        return anti.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("relation"), "n_orphans"
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    parts = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", load(spark, sf_dir, "part"), "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", load(spark, sf_dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+        orphans(o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", "orders->customer"),
+        orphans(load(spark, sf_dir, "customer"), "c_nationkey", load(spark, sf_dir, "nation"), "n_nationkey", "customer->nation"),
+        orphans(load(spark, sf_dir, "supplier"), "s_nationkey", load(spark, sf_dir, "nation"), "n_nationkey", "supplier->nation"),
+        orphans(load(spark, sf_dir, "nation"), "n_regionkey", load(spark, sf_dir, "region"), "r_regionkey", "nation->region"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

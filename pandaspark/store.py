@@ -352,6 +352,44 @@ def read_store(spark: SparkSession, path: str, version: int | None = None) -> Da
     )
 
 
+def diff_snapshots(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key: str = "fingerprint",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two committed snapshots in the
+    time-travel window: one full-outer join on the key classifies every
+    row as added / removed / changed (null-safe struct comparison over
+    `compare_cols`, default all non-key columns); unchanged rows drop out.
+    This is the table-diff primitive Delta/Iceberg expose as CDF — here it
+    is derived from the snapshots themselves, so it needs no change log.
+    At scale the join shuffles both snapshots on the key once; output is
+    change-sized."""
+    committed = snapshot_versions(spark, root)
+    for v in (v_from, v_to):
+        if v not in committed:
+            raise FileNotFoundError(f"no committed snapshot v{v} under {root}")
+    a = spark.read.parquet(f"{root}/v{v_from:0{_VERSION_WIDTH}d}")
+    b = spark.read.parquet(f"{root}/v{v_to:0{_VERSION_WIDTH}d}")
+    cols = compare_cols or [c for c in b.columns if c != key]
+    a_s = a.select(F.col(key), F.struct(*cols).alias("_a"))
+    b_s = b.select(F.col(key), F.struct(*cols).alias("_b"))
+    j = a_s.join(b_s, key, "full_outer")
+    change = (
+        F.when(F.col("_a").isNull(), F.lit("added"))
+        .when(F.col("_b").isNull(), F.lit("removed"))
+        .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key, "change_type")
+    )
+
+
 def next_transaction_id(store: DataFrame) -> int:
     """COALESCE(MAX(transaction_id), 0) + 1."""
     row = store.agg(F.coalesce(F.max("transaction_id"), F.lit(0)).alias("m")).collect()[0]

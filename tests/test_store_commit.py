@@ -383,3 +383,36 @@ def test_stream_upsert_with_auto_compaction(spark, tmp_path):
     assert g == w
     data_files = [f for f in os.listdir(current) if f.endswith(".parquet")]
     assert len(data_files) == 1  # last commit was a compaction
+
+
+def test_diff_snapshots_classifies_adds_removes_changes(spark, tmp_path):
+    """Snapshot CDC: v1→v2 with one removed row, one added row, one changed
+    row, and the rest untouched must classify exactly those keys."""
+    from pandaspark.store import commit_snapshot, diff_snapshots
+
+    root = str(tmp_path / "diffstore")
+    v1 = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z"), ("d", 4, "w")],
+        "fingerprint string, val int, tag string",
+    )
+    commit_snapshot(v1, root)
+    v2 = spark.createDataFrame(
+        [("b", 2, "y"), ("c", 30, "z"), ("d", 4, "w"), ("e", 5, "v")],
+        "fingerprint string, val int, tag string",
+    )
+    commit_snapshot(v2, root)
+    got = {
+        r.fingerprint: r.change_type
+        for r in diff_snapshots(spark, root, 1, 2).collect()
+    }
+    assert got == {"a": "removed", "c": "changed", "e": "added"}
+    # column-scoped diff: comparing only `tag` sees no change on c
+    got_tag = {
+        r.fingerprint: r.change_type
+        for r in diff_snapshots(spark, root, 1, 2, compare_cols=["tag"]).collect()
+    }
+    assert got_tag == {"a": "removed", "e": "added"}
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        diff_snapshots(spark, root, 1, 9)
