@@ -195,7 +195,7 @@ _VERIFY_FIRST = [
     "q77_quality_funnel", "q78_split_manifest", "q79_incremental_dedup",
     "q80_ann_recall", "q81_anomaly_events", "q82_lang_classifier",
     "q83_min_cost_supplier", "q84_grouping_sets", "q85_histogram",
-    "q86_event_transitions", "q87_fk_audit",
+    "q86_event_transitions", "q87_fk_audit", "q88_spend_deciles",
     # last driver-checked in r01/r02 (rotated out of r03's budget)
     "q22_regex_extract", "q23_ci_search", "q24_daily_users",
     "q25_tumbling_window", "q26_sessionize", "q29_cube",

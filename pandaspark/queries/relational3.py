@@ -752,3 +752,68 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- q88: global spend deciles via two-phase ranking ------------------------
+#
+# A BI staple (decile report over customer lifetime spend) whose naive
+# form is ntile(10) OVER (ORDER BY ...) — a partition-less window this
+# repo's own plan gate forbids over unbounded input. Registered here in
+# its 100 TB form: operators.sequential_ids assigns the global rank via
+# range partitions + broadcast offsets (no single-partition exchange of
+# the data), and ntile's exact fill rule (first n%k buckets take one
+# extra row) is reproduced with integer arithmetic — so the driver's
+# hash gate now covers the two-phase ranking machinery itself against
+# DuckDB's native ntile().
+
+_Q88_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS decile
+  FROM spend
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total_spend
+FROM ranked GROUP BY decile
+"""
+
+
+@register("q88_spend_deciles", _Q88_ORACLE, "global decile report via two-phase ranking (no global window)")
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sequential_ids
+
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    # rank descending by spend: order on (-cents, o_custkey) gives the same
+    # total order as ntile's ORDER BY cents DESC, o_custkey
+    ranked = sequential_ids(
+        spend.withColumn("_neg", -F.col("cents")), ["_neg", "o_custkey"], alias="rank"
+    ).drop("_neg")
+    # exact ntile(k): q = n div k, r = n mod k; buckets 1..r hold q+1 rows
+    k = 10
+    n = spend.agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.crossJoin(F.broadcast(n))
+    q_ = F.expr(f"n div {k}")
+    r_ = F.col("n") % k
+    big = (q_ + 1) * r_  # rows living in the oversized buckets
+    decile = (
+        F.when(F.col("rank") <= big, F.ceil(F.col("rank") / (q_ + 1)))
+        .otherwise(r_ + F.ceil((F.col("rank") - big) / q_))
+        .cast("long")
+    )
+    return (
+        j.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_spend"),
+        )
+    )

@@ -416,3 +416,55 @@ def test_diff_snapshots_classifies_adds_removes_changes(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         diff_snapshots(spark, root, 1, 9)
+
+
+def test_incremental_stats_maintenance_via_snapshot_diff(spark, tmp_path):
+    """Incremental view maintenance: per-lang doc counts maintained from a
+    snapshot CDC delta must equal a fresh recompute on the new snapshot —
+    the warehouse pattern where 100 TB of stats update from a change-sized
+    diff instead of a full rescan."""
+    from pandaspark.store import commit_snapshot, diff_snapshots
+
+    root = str(tmp_path / "ivm")
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text").limit(100)
+    v1 = docs.filter(F.col("doc_id") % 4 != 0)
+    commit_snapshot(v1.withColumn("fingerprint", F.col("doc_id").cast("string")), root)
+    # v2: some removed, some added, one lang flipped
+    v2 = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .withColumn(
+            "lang", F.when(F.col("doc_id") % 7 == 0, F.lit("xx")).otherwise(F.col("lang"))
+        )
+    )
+    commit_snapshot(v2.withColumn("fingerprint", F.col("doc_id").cast("string")), root)
+
+    stats_v1 = v1.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    delta = diff_snapshots(spark, root, 1, 2)
+    s1 = spark.read.parquet(f"{root}/v000001")
+    s2 = spark.read.parquet(f"{root}/v000002")
+    # per-lang delta: -1 for removed/changed-away rows (old lang), +1 for
+    # added/changed-into rows (new lang)
+    minus = (
+        delta.filter(F.col("change_type").isin("removed", "changed"))
+        .join(s1.select("fingerprint", "lang"), "fingerprint")
+        .groupBy("lang")
+        .agg((-F.count(F.lit(1))).alias("d"))
+    )
+    plus = (
+        delta.filter(F.col("change_type").isin("added", "changed"))
+        .join(s2.select("fingerprint", "lang"), "fingerprint")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    maintained = (
+        stats_v1.select("lang", F.col("n").alias("d"))
+        .unionByName(minus)
+        .unionByName(plus)
+        .groupBy("lang")
+        .agg(F.sum("d").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    fresh = v2.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = {r.lang: r.n for r in maintained.collect()}
+    f = {r.lang: r.n for r in fresh.collect()}
+    assert m == f and "xx" in f
