@@ -1,0 +1,113 @@
+"""Driver-style full-registry oracle sweep.
+
+Mimics the per-round driver check: fresh SparkSession, run every
+queries() entry at a given sf dir, run the matching oracle_sql() in
+DuckDB over parquet views, compare row count, sorted-column schema,
+and a value hash of the sorted rows. Prints one line per query and a
+summary; exit 1 on any mismatch.
+
+Usage: python scripts/oracle_check.py [sf_dir] [query_prefix ...]
+"""
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry
+
+
+def norm(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = [n for n in qs if not ONLY or any(n.startswith(p) for p in ONLY)]
+    bad = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            cols = sdf.columns
+            rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            bad.append(name)
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: no oracle ({len(rows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {exc}")
+            bad.append(name)
+            continue
+        dt = time.time() - t0
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rows {len(rows)}!={len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"schema {sorted(cols)}!={sorted(ocols)}")
+        elif value_hash(cols, rows) != value_hash(ocols, orows):
+            problems.append("hash mismatch")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            bad.append(name)
+        else:
+            print(f"ok    {name}  ({len(rows)} rows, {dt:.1f}s)")
+    print(f"\n{len(names) - len(bad)}/{len(names)} green")
+    if bad:
+        print("failing:", ", ".join(bad))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
