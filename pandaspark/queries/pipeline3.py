@@ -1,0 +1,158 @@
+"""Third pipeline tranche: training-data chunking manifests and
+event-analytics shapes (cohort retention, ordered funnels).
+
+The chunking manifest is the front door of a pretraining tokenizer stage:
+at 100 TB it is a pure map (token count + bounded sequence explode) with no
+shuffle at all; the cohort/funnel queries reduce events to one row per
+user (shuffle on user_id — the natural key) before any matrix/step logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register, spread
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (CHUNK - STRIDE = 8 overlap)
+
+
+# --- q97: sliding-window chunk manifest -------------------------------------
+
+_Q97_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, source,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(least(tok_start + {_CHUNK}, n_tok) AS BIGINT) AS tok_end,
+       CAST((tok_start / {_STRIDE}) AS BIGINT) AS chunk_idx
+FROM (SELECT doc_id, source, n_tok,
+             unnest(range(0, greatest(n_tok, 1), {_STRIDE})) AS tok_start
+      FROM toks)
+"""
+
+
+@register("q97_chunk_manifest", _Q97_ORACLE, "sliding-window token-chunk manifest with overlap")
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window manifest (chunk 32 / stride 24): each doc
+    yields ceil(n_tok/stride) chunk rows [start, min(start+32, n_tok)).
+    The explode is bounded by doc length — no shuffle, no state; at
+    100 TB this is a single map stage whose output feeds the tokenizer.
+    Zero-token docs still yield one empty chunk row (the manifest must
+    account for every input doc)."""
+    d = spread(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    n_tok = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("n_tok") - 1, F.lit(0).cast("long")),
+        F.lit(_STRIDE).cast("long"),
+    )
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .select("doc_id", "source", "n_tok", F.explode(starts).alias("tok_start"))
+        .select(
+            "doc_id",
+            "source",
+            "tok_start",
+            F.least(F.col("tok_start") + _CHUNK, F.col("n_tok")).alias("tok_end"),
+            (F.col("tok_start") / _STRIDE).cast("long").alias("chunk_idx"),
+        )
+    )
+
+
+# --- q98: weekly cohort retention -------------------------------------------
+
+_Q98_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS act_week
+  FROM events
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('week', cohort_week, act_week) AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM firsts JOIN activity USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("q98_cohort_retention", _Q98_ORACLE, "weekly cohort retention matrix")
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: cohort = first active ISO week per user,
+    each (user, active-week) pair counts into (cohort, offset). Both halves
+    shuffle once on user_id and the join is user-granular (150 rows here;
+    at 100 TB still |users|, not |events|). Offsets are exact integer week
+    diffs between Monday-truncated dates."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("act_week")
+    )
+    activity = e.distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- q99: ordered conversion funnel -----------------------------------------
+
+_Q99_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(t_view) AS BIGINT) AS viewed,
+       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS clicked_after_view,
+       CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+            AS BIGINT) AS full_funnel
+FROM steps
+"""
+
+
+@register("q99_ordered_funnel", _Q99_ORACLE, "view→click→purchase ordered funnel")
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel via first-touch timestamps: one conditional-min
+    aggregate per step collapses events to a row per user (single shuffle
+    on user_id, map-side partials), then strict inequalities enforce step
+    order. NULL first-touches fail every comparison, so each stage counts
+    only users who completed the previous one first."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_touch(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts"))).alias(f"t_{step}")
+
+    steps = e.groupBy("user_id").agg(
+        first_touch("view"), first_touch("click"), first_touch("purchase")
+    )
+    return steps.agg(
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), F.lit(1))).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                F.lit(1),
+            )
+        ).alias("full_funnel"),
+    )
