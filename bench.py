@@ -34,6 +34,13 @@ def main() -> None:
     )
     aqe_env = os.environ.get("SPARK_GRAFT_AQE")
     aqe = (aqe_env == "1") if aqe_env in ("0", "1") else data_bytes >= 1 << 30
+    # Same scale-awareness for shuffle width: below ~1 GiB every shuffle
+    # fits a handful of partitions and 32-way task scheduling is pure
+    # overhead (measured at sf0.1: q66 1.7s->0.96s, q34 stabilized
+    # 1.6s, q82 1.7s->1.3s with 8). Map-side parallelism is unaffected —
+    # queries.spread() pins compute stages to defaultParallelism.
+    if data_bytes < 1 << 30:
+        os.environ.setdefault("PANDASPARK_SHUFFLE_PARTITIONS", "8")
     spark = get_spark("pandaspark-bench", aqe=aqe)
     spark.sparkContext.setLogLevel("ERROR")
 

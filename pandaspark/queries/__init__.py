@@ -48,12 +48,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+import os  # noqa: E402
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the caller may hand us a default-config session (200 shuffle
-    # partitions); size shuffles to the machine — AQE coalesces further
+    # partitions); size shuffles to the machine — AQE coalesces further.
+    # PANDASPARK_SHUFFLE_PARTITIONS overrides for sub-GiB runs where
+    # per-task scheduling overhead dominates shuffle width (bench.py sets
+    # it scale-aware); unset → track the machine, the production default.
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions",
+        os.environ.get(
+            "PANDASPARK_SHUFFLE_PARTITIONS",
+            str(spark.sparkContext.defaultParallelism),
+        ),
     )
     if table == "events":
         # events.ts has shipped in two physical forms across test-data

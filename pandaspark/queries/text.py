@@ -382,9 +382,19 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _norm_text().alias("t"))
         .select("doc_id", shingles.alias("sh"))
     )
+    # sh is candidate-sized (the semi-join above bounds it to docs that
+    # appear in some pair), so both verify joins broadcast it — without the
+    # hint Catalyst costs the full documents scan and plans two sort-merge
+    # shuffles of the shingle-array column
     pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        cand.join(
+            F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_distinct(F.concat("sa", "sb")))

@@ -1,0 +1,42 @@
+"""Min-of-N wall timing for individual registry queries at a given SF.
+
+Usage: python scripts/time_query.py [sf_dir] q55 q82 ...   (N via TQ_RUNS)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.1"
+NAMES = [a for a in sys.argv[1:] if "/" not in a]
+RUNS = int(os.environ.get("TQ_RUNS", "3"))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .appName("time-query")
+        .getOrCreate()
+    )
+    qs = entry.queries()
+    picks = [n for n in qs if any(n.startswith(p) for p in NAMES)] if NAMES else list(qs)
+    for name in picks:
+        # one warm-up (plan compile, scan caching), then min-of-RUNS
+        qs[name](spark, SF_DIR).count()
+        best = min(
+            (lambda t0: (qs[name](spark, SF_DIR).count(), time.time() - t0)[1])(time.time())
+            for _ in range(RUNS)
+        )
+        print(f"{name}  {best:.3f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -242,3 +242,43 @@ def test_exact_quantiles_two_phase_equals_builtin_percentile(spark):
     )
     assert "rangepartitioning" in plan.lower().replace(" ", "")
     assert "ObjectHashAggregate" not in plan
+
+
+class TestChunkManifest:
+    """Edge semantics of the q97 sliding-window chunk manifest: full token
+    coverage, stride-aligned starts, clamped ends — the invariants a
+    tokenizer stage downstream depends on."""
+
+    def _manifest(self, spark, docs):
+        import pandaspark.queries.pipeline3 as p3
+        from pandaspark.queries import REGISTRY
+        import tempfile, os
+
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        rows = REGISTRY["q97_chunk_manifest"].fn(spark, tmp).collect()
+        return sorted((r.doc_id, r.chunk_idx, r.tok_start, r.tok_end) for r in rows)
+
+    def test_single_token_doc_yields_one_chunk(self, spark):
+        m = self._manifest(spark, [(1, "hello", "en", "s", 5)])
+        assert m == [(1, 0, 0, 1)]
+
+    def test_exact_chunk_multiple_and_coverage(self, spark):
+        # 48 tokens: starts 0,24 → chunks [0,32),[24,48); every token in
+        # some chunk, consecutive chunks overlap by CHUNK-STRIDE tokens
+        text48 = " ".join(f"t{i}" for i in range(48))
+        m = self._manifest(spark, [(7, text48, "en", "s", len(text48))])
+        assert m == [(7, 0, 0, 32), (7, 1, 24, 48)]
+        covered = set()
+        for _, _, s, e in m:
+            covered.update(range(s, e))
+        assert covered == set(range(48))
+
+    def test_starts_are_stride_aligned_and_ends_clamped(self, spark):
+        text70 = " ".join(f"t{i}" for i in range(70))
+        m = self._manifest(spark, [(9, text70, "en", "s", len(text70))])
+        assert [r[2] for r in m] == [0, 24, 48]
+        assert all(r[3] <= 70 for r in m)
+        assert m[-1][3] == 70

@@ -224,3 +224,39 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_tpch_shapes_broadcast_dims(spark):
+    """Round-5 TPC-H shapes: every dimension chain must broadcast; the only
+    shuffle join allowed is fact⋈fact. q96's scalar-threshold cross join is
+    exempt from the nested-loop ban — a broadcast of ONE row."""
+    for name in (
+        "q89_volume_shipping",
+        "q90_market_share",
+        "q91_returned_items",
+        "q93_top_supplier",
+        "q94_small_qty_revenue",
+        "q95_or_predicate_revenue",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q91_top20_compiles_to_take_ordered(spark):
+    """Top-20-by-revenue must be per-partition heaps + driver merge, never
+    a global sort materialization."""
+    plan = plan_of(spark, "q91_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q95_or_predicate_factors_into_both_scans(spark):
+    """Catalyst must extract the per-table disjunctions from the OR-of-ANDs
+    join predicate and push them into BOTH parquet scans (the canonical
+    TPC-H Q19 plan property)."""
+    plan = formatted_plan(spark, "q95_or_predicate_revenue")
+    blocks = plan.split("PushedFilters:")[1:]
+    joined = "|".join(b.split("\n")[0] for b in blocks)
+    assert "l_quantity" in joined, "lineitem scan lost the quantity bounds"
+    assert "p_brand" in joined, "part scan lost the brand/size disjunction"
