@@ -156,3 +156,124 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+# --- q100: fixed-iteration Lloyd k-means over embeddings --------------------
+#
+# The iterative-algorithm shape the similarity family lacked: 2 unrolled
+# Lloyd iterations (deterministic seeds = lowest vec_ids, argmin ties to the
+# lowest cluster id), exact integer micro-unit centroid means (float sums
+# would be summation-order-dependent — q41's convention), and inertia
+# accumulated as round4-scaled INTEGER ten-thousandths so the report sum is
+# associative and engine-exact. Plan at 100 TB: centroids are K×D rows and
+# BROADCAST onto the vector scan each iteration (classic learn-small/
+# apply-wide); the argmin is a min(struct) hash aggregate, never a window;
+# the centroid update is D codegen'd integer sums with map-side partials.
+
+_KM_K = 5
+_KM_DIMS = 64
+
+
+def _km_sql_dist(v: str, c: str) -> str:
+    # left-fold of per-dim squared deltas, seeded by the first element —
+    # bit-equal to Spark's aggregate(zip_with(...), 0.0, +) fold (adding the
+    # 0.0 seed is IEEE-exact for the non-negative first square)
+    return (
+        f"list_reduce([({v}[i+1] - {c}[i+1]) * ({v}[i+1] - {c}[i+1]) "
+        f"FOR i IN range({_KM_DIMS})], (x, y) -> x + y)"
+    )
+
+
+def _km_sql_centroid() -> str:
+    return ", ".join(
+        f"CAST(sum(CAST(round(emb[{i + 1}] * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE) / 1000000.0"
+        for i in range(_KM_DIMS)
+    )
+
+
+def _km_sql_assign(cents: str) -> str:
+    return f"""
+  SELECT vec_id, emb, cluster, d FROM (
+    SELECT e.vec_id, e.emb, c.cluster,
+           {_km_sql_dist('e.emb', 'c.centroid')} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_km_sql_dist('e.emb', 'c.centroid')}, c.cluster) AS rk
+    FROM e CROSS JOIN {cents} c)
+  WHERE rk = 1"""
+
+
+_Q100_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, emb AS centroid FROM e WHERE vec_id < {_KM_K}
+),
+a1 AS ({_km_sql_assign('c0')}),
+c1 AS (
+  SELECT cluster, list_value({_km_sql_centroid()}) AS centroid
+  FROM a1 GROUP BY cluster
+),
+a2 AS ({_km_sql_assign('c1')})
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(floor(d * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0
+         AS inertia
+FROM a2 GROUP BY cluster
+"""
+
+
+@register("q100_kmeans", _Q100_ORACLE, "2-iteration Lloyd k-means, exact integer centroids")
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def dist(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents):
+        # K rows per vector via broadcast; argmin as a min(struct) hash
+        # aggregate (ties break to the lowest cluster id through the
+        # struct's lexicographic order) — no per-vector window anywhere
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "emb",
+            F.struct(dist(F.col("emb"), F.col("centroid")).alias("d"), "cluster").alias(
+                "dc"
+            ),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min("dc").alias("m"), F.any_value("emb").alias("emb"))
+            .select(
+                "vec_id", "emb", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d")
+            )
+        )
+
+    def micro_mean(i: int):
+        s = F.sum(F.round(F.col("emb")[i] * 1000000).cast("long"))
+        return s.cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1000000.0)
+
+    c0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("emb").alias("centroid")
+    )
+    a1 = assign(c0)
+    c1 = a1.groupBy("cluster").agg(
+        F.array(*[micro_mean(i) for i in range(_KM_DIMS)]).alias("centroid")
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("id_sum"),
+        (F.sum(F.floor(F.col("d") * 10000 + F.lit(0.5)).cast("long")) / F.lit(10000.0)).alias(
+            "inertia"
+        ),
+    )
