@@ -202,6 +202,7 @@ from . import pipeline3  # noqa: E402,F401
 # has a green r03 row.
 _VERIFY_FIRST = [
     # NEW in round 5 — never seen by any driver round
+    "q100_kmeans",
     "q89_volume_shipping", "q90_market_share", "q91_returned_items",
     "q92_order_count_dist", "q93_top_supplier", "q94_small_qty_revenue",
     "q95_or_predicate_revenue", "q96_dormant_customers",
