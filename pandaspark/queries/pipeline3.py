@@ -185,8 +185,11 @@ def _km_sql_dist(v: str, c: str) -> str:
 
 
 def _km_sql_centroid() -> str:
+    # floor(x*1e6 + 0.5), NOT library round(): library rounding is
+    # engine-divergent on knife-edge doubles (see round4's docstring), and
+    # with 64 dims × every row the knife-edge exposure here is real
     return ", ".join(
-        f"CAST(sum(CAST(round(emb[{i + 1}] * 1000000) AS BIGINT)) AS DOUBLE)"
+        f"CAST(sum(CAST(floor(emb[{i + 1}] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / CAST(count(*) AS DOUBLE) / 1000000.0"
         for i in range(_KM_DIMS)
     )
@@ -228,8 +231,13 @@ FROM a2 GROUP BY cluster
 
 @register("q100_kmeans", _Q100_ORACLE, "2-iteration Lloyd k-means, exact integer centroids")
 def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    # spread: single-row-group fixture scans feed ONE partition, and the
+    # 64-dim × K distance folds are the most compute-heavy map work in the
+    # tranche — equalize before both assignment passes
+    e = spread(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+        )
     )
 
     def dist(v, c):
@@ -259,7 +267,9 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def micro_mean(i: int):
-        s = F.sum(F.round(F.col("emb")[i] * 1000000).cast("long"))
+        # floor(x*1e6 + 0.5): three IEEE-exact ops, bit-identical in DuckDB
+        # (library round() diverges on knife-edge doubles — round4 docstring)
+        s = F.sum(F.floor(F.col("emb")[i] * 1000000 + F.lit(0.5)).cast("long"))
         return s.cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1000000.0)
 
     c0 = e.filter(F.col("vec_id") < _KM_K).select(

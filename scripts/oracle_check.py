@@ -30,7 +30,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # repr = shortest round-trip (exact): the driver compares exactly,
+        # so this sweep must too — .9g would hide >9-sig-digit divergence
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, bytes):

@@ -8,8 +8,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.1"
-NAMES = [a for a in sys.argv[1:] if "/" not in a]
+_args = sys.argv[1:]
+if _args and os.path.isdir(_args[0]):
+    SF_DIR, NAMES = _args[0], _args[1:]
+else:
+    SF_DIR, NAMES = "/root/testdata/sf0.1", _args
 RUNS = int(os.environ.get("TQ_RUNS", "3"))
 
 from pyspark.sql import SparkSession
@@ -28,6 +31,8 @@ def main():
     )
     qs = entry.queries()
     picks = [n for n in qs if any(n.startswith(p) for p in NAMES)] if NAMES else list(qs)
+    if NAMES and not picks:
+        sys.exit(f"no registry query matches prefixes {NAMES}")
     for name in picks:
         # one warm-up (plan compile, scan caching), then min-of-RUNS
         qs[name](spark, SF_DIR).count()

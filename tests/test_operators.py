@@ -249,36 +249,33 @@ class TestChunkManifest:
     coverage, stride-aligned starts, clamped ends — the invariants a
     tokenizer stage downstream depends on."""
 
-    def _manifest(self, spark, docs):
-        import pandaspark.queries.pipeline3 as p3
+    def _manifest(self, spark, tmp_path, docs):
         from pandaspark.queries import REGISTRY
-        import tempfile, os
 
-        tmp = tempfile.mkdtemp()
         spark.createDataFrame(
             docs, "doc_id long, text string, lang string, source string, n_chars long"
-        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
-        rows = REGISTRY["q97_chunk_manifest"].fn(spark, tmp).collect()
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = REGISTRY["q97_chunk_manifest"].fn(spark, str(tmp_path)).collect()
         return sorted((r.doc_id, r.chunk_idx, r.tok_start, r.tok_end) for r in rows)
 
-    def test_single_token_doc_yields_one_chunk(self, spark):
-        m = self._manifest(spark, [(1, "hello", "en", "s", 5)])
+    def test_single_token_doc_yields_one_chunk(self, spark, tmp_path):
+        m = self._manifest(spark, tmp_path, [(1, "hello", "en", "s", 5)])
         assert m == [(1, 0, 0, 1)]
 
-    def test_exact_chunk_multiple_and_coverage(self, spark):
+    def test_exact_chunk_multiple_and_coverage(self, spark, tmp_path):
         # 48 tokens: starts 0,24 → chunks [0,32),[24,48); every token in
         # some chunk, consecutive chunks overlap by CHUNK-STRIDE tokens
         text48 = " ".join(f"t{i}" for i in range(48))
-        m = self._manifest(spark, [(7, text48, "en", "s", len(text48))])
+        m = self._manifest(spark, tmp_path, [(7, text48, "en", "s", len(text48))])
         assert m == [(7, 0, 0, 32), (7, 1, 24, 48)]
         covered = set()
         for _, _, s, e in m:
             covered.update(range(s, e))
         assert covered == set(range(48))
 
-    def test_starts_are_stride_aligned_and_ends_clamped(self, spark):
+    def test_starts_are_stride_aligned_and_ends_clamped(self, spark, tmp_path):
         text70 = " ".join(f"t{i}" for i in range(70))
-        m = self._manifest(spark, [(9, text70, "en", "s", len(text70))])
+        m = self._manifest(spark, tmp_path, [(9, text70, "en", "s", len(text70))])
         assert [r[2] for r in m] == [0, 24, 48]
         assert all(r[3] <= 70 for r in m)
         assert m[-1][3] == 70
