@@ -107,3 +107,136 @@ def test_cascade_precedence_last_match_wins(spark, row_tokens, rule_order):
         matching = [t for t in rule_order if t in toks]
         want = f"cat_{matching[-1]}" if matching else None
         assert got[i] == want, (i, toks, rule_order)
+
+
+# --- round-5 operators vs independent Python references ---------------------
+
+
+def _py_chunks(n_tok: int, chunk: int = 32, stride: int = 24):
+    """Reference chunker: stride-aligned starts below n_tok (min one chunk),
+    ends clamped."""
+    starts = list(range(0, max(n_tok, 1), stride))
+    return [(s, min(s + chunk, n_tok)) for s in starts]
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=20))
+def test_chunk_manifest_matches_python_reference(spark, tmp_path_factory, tok_counts):
+    from pandaspark.queries import REGISTRY
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(n)) if n else "", "en", "s", n)
+        for i, n in enumerate(tok_counts)
+    ]
+    tmp = tmp_path_factory.mktemp("chunkprop")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {}
+    for r in REGISTRY["q97_chunk_manifest"].fn(spark, str(tmp)).collect():
+        got.setdefault(r.doc_id, []).append((r.tok_start, r.tok_end))
+    for doc_id, n in enumerate(tok_counts):
+        assert sorted(got[doc_id]) == _py_chunks(n), f"doc {doc_id} ({n} tokens)"
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=10**6),  # seconds offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ordered_funnel_matches_python_reference(spark, tmp_path_factory, events):
+    import datetime as _dt
+
+    from pandaspark.queries import REGISTRY
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(seconds=s), u, t, 1.0, "{}")
+        for i, (u, t, s) in enumerate(events)
+    ]
+    tmp = tmp_path_factory.mktemp("funnelprop")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    row = REGISTRY["q99_ordered_funnel"].fn(spark, str(tmp)).collect()[0]
+
+    # independent reference: first-touch minima per user, strict ordering
+    firsts: dict[int, dict[str, _dt.datetime]] = {}
+    for u, t, s in events:
+        ts = base + _dt.timedelta(seconds=s)
+        d = firsts.setdefault(u, {})
+        if t not in d or ts < d[t]:
+            d[t] = ts
+    viewed = sum(1 for d in firsts.values() if "view" in d)
+    clicked = sum(
+        1
+        for d in firsts.values()
+        if "view" in d and "click" in d and d["click"] > d["view"]
+    )
+    full = sum(
+        1
+        for d in firsts.values()
+        if "view" in d
+        and "click" in d
+        and "purchase" in d
+        and d["click"] > d["view"]
+        and d["purchase"] > d["click"]
+    )
+    assert (row.viewed, row.clicked_after_view, row.full_funnel) == (viewed, clicked, full)
+
+
+def test_kmeans_matches_numpy_reference(spark, tmp_path_factory):
+    """q100's 2 Lloyd iterations against a plain numpy replay on a small
+    deterministic dataset: same seeds, same micro-unit centroid
+    quantization, same argmin tie-break."""
+    import numpy as np
+
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline3 import _KM_DIMS, _KM_K
+
+    rng = np.random.RandomState(7)
+    n = 60
+    vecs = rng.randn(n, _KM_DIMS).astype(np.float32)
+    tmp = tmp_path_factory.mktemp("kmprop")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], i % 3) for i in range(n)],
+        "vec_id long, embedding array<float>, label long",
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    got = {
+        r.cluster: (r.n, r.id_sum, r.inertia)
+        for r in REGISTRY["q100_kmeans"].fn(spark, str(tmp)).collect()
+    }
+
+    emb = vecs.astype(np.float64)
+    cents = emb[:_KM_K].copy()
+
+    def assign(c):
+        out = []
+        for v in emb:
+            d = ((v[None, :] - c) ** 2).sum(axis=1)
+            k = int(np.lexsort((np.arange(len(c)), d))[0])  # ties → lowest id
+            out.append((k, float(d[k])))
+        return out
+
+    a1 = assign(cents)
+    new = []
+    for k in sorted({k for k, _ in a1}):
+        members = emb[[i for i, (ki, _) in enumerate(a1) if ki == k]]
+        micro = np.floor(members * 1e6 + 0.5).sum(axis=0)
+        new.append(micro / len(members) / 1e6)
+    clusters1 = sorted({k for k, _ in a1})
+    a2 = assign(np.array(new))
+    ref: dict[int, tuple] = {}
+    for i, (ki, d) in enumerate(a2):
+        k = clusters1[ki]  # row index in new → surviving cluster id
+        cnt, ids, inertia = ref.get(k, (0, 0, 0))
+        ref[k] = (cnt + 1, ids + i, inertia + int(np.floor(d * 10000 + 0.5)))
+    ref = {k: (c, s, ie / 10000.0) for k, (c, s, ie) in ref.items()}
+    assert got == ref
