@@ -104,7 +104,7 @@ def main() -> None:
     # must stay SHORT (<1500 chars): headline totals only. Per-query detail
     # (Spark + DuckDB timings) goes to BENCH_DETAIL.json next to this file.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
     summary = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -114,7 +114,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "floor_est": floor_est,
-        "slowest5": slowest,
+        "slowest3": slowest,
         "detail_file": "BENCH_DETAIL.json",
     }
     if duck:

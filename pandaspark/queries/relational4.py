@@ -424,3 +424,106 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bal_cents) / F.lit(100.0)).alias("totacctbal"),
         )
     )
+
+
+# --- q101: year-over-year growth --------------------------------------------
+
+_Q101_ORACLE = """
+WITH yearly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_year
+)
+SELECT o_year,
+       rev_cents / 100.0 AS revenue,
+       lag(rev_cents) OVER (ORDER BY o_year) / 100.0 AS prev_revenue,
+       floor(CAST(rev_cents - lag(rev_cents) OVER (ORDER BY o_year) AS DOUBLE)
+             / CAST(lag(rev_cents) OVER (ORDER BY o_year) AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS yoy_growth
+FROM yearly
+"""
+
+
+@register("q101_yoy_growth", _Q101_ORACLE, "year-over-year revenue growth (lag over year agg)")
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag window runs over the AGGREGATE output (one row per year) —
+    a partition-less frame over provably bounded input, which the
+    partition-less-window plan gate explicitly allows. The fact scan
+    itself only feeds a map-side-partial hash aggregate."""
+    from pyspark.sql import Window
+
+    from . import round4
+
+    o = load(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    w = Window.orderBy("o_year")
+    prev = F.lag("rev_cents").over(w)
+    return yearly.select(
+        "o_year",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        (prev / F.lit(100.0)).alias("prev_revenue"),
+        round4((F.col("rev_cents") - prev).cast("double") / prev.cast("double")).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+# --- q102: share of parent (nation within region) ---------------------------
+
+_Q102_ORACLE = """
+WITH nat AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       rev_cents / 100.0 AS revenue,
+       floor(CAST(rev_cents AS DOUBLE)
+             / CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS region_share
+FROM nat
+"""
+
+
+@register("q102_share_of_parent", _Q102_ORACLE, "nation revenue share within its region")
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent without a wide window: the per-(region, nation)
+    aggregate is grouping-bounded (≤ |nations| rows), so the region-total
+    window runs over a tiny frame. Integer-cents numerator/denominator and
+    one round4 division keep the share engine-exact. Dim chain broadcasts;
+    the fact shuffles once on custkey."""
+    from pyspark.sql import Window
+
+    from . import round4
+
+    o = load(spark, sf_dir, "orders")
+    dims = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+    nat = (
+        o.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    )
+    tot = F.sum("rev_cents").over(Window.partitionBy("r_name"))
+    return nat.select(
+        "r_name",
+        "n_name",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        round4(F.col("rev_cents").cast("double") / tot.cast("double")).alias("region_share"),
+    )
