@@ -13,10 +13,11 @@ broadcasts, never as recomputed subplans per row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, round4
+
 
 def _rev_cents():
     # built lazily: Column construction needs an active SparkContext
@@ -315,12 +316,11 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
     stats = (
         li.join(F.broadcast(bp), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("l_partkey")
+        .groupBy(F.col("l_partkey").alias("sp_partkey"))
         .agg(
             F.sum(qty_cents).alias("qty_cents_sum"),
             F.count(F.lit(1)).alias("n"),
         )
-        .withColumnRenamed("l_partkey", "sp_partkey")
     )
     return (
         li.join(F.broadcast(stats), F.col("sp_partkey") == F.col("l_partkey"))
@@ -450,10 +450,6 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition-less frame over provably bounded input, which the
     partition-less-window plan gate explicitly allows. The fact scan
     itself only feeds a map-side-partial hash aggregate."""
-    from pyspark.sql import Window
-
-    from . import round4
-
     o = load(spark, sf_dir, "orders")
     yearly = o.groupBy(
         F.year(F.col("o_orderdate").cast("date")).alias("o_year")
@@ -498,10 +494,6 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over a tiny frame. Integer-cents numerator/denominator and
     one round4 division keep the share engine-exact. Dim chain broadcasts;
     the fact shuffles once on custkey."""
-    from pyspark.sql import Window
-
-    from . import round4
-
     o = load(spark, sf_dir, "orders")
     dims = (
         load(spark, sf_dir, "customer")

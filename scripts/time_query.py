@@ -36,10 +36,11 @@ def main():
     for name in picks:
         # one warm-up (plan compile, scan caching), then min-of-RUNS
         qs[name](spark, SF_DIR).count()
-        best = min(
-            (lambda t0: (qs[name](spark, SF_DIR).count(), time.time() - t0)[1])(time.time())
-            for _ in range(RUNS)
-        )
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
         print(f"{name}  {best:.3f}s")
 
 
