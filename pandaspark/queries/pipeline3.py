@@ -287,3 +287,102 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia"
         ),
     )
+
+
+# --- q103: BM25-style ranked retrieval --------------------------------------
+#
+# Ranked keyword retrieval over the corpus — the search-side primitive of a
+# training-data engine (contamination triage, targeted corpus slicing). The
+# classic BM25 log-idf is replaced by its monotone rational core
+# (N - df + 0.5)/(df + 0.5): libm log() is the one term that diverges
+# between engines in the last ulp, while the rational form keeps every
+# factor an exact-input IEEE expression both engines evaluate identically.
+# Per-doc scores sum a FIXED, explicit term order (t1 + t2) + t3 — no
+# order-dependent float aggregation anywhere. Plan at 100 TB: one scan
+# computing per-doc tf/length, a single 1-row stats broadcast (N, avgdl,
+# per-term df), then TakeOrdered top-20 — no shuffle of the corpus at all.
+
+_BM25_TERMS = ("join", "vector", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql_tf(t: str) -> str:
+    return f"length(regexp_extract_all(lower(text), '\\b{t}\\b'))"
+
+
+_Q103_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl,
+         {", ".join(f"CAST({_bm25_sql_tf(t)} AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM tf
+),
+scored AS (
+  SELECT doc_id,
+         {" + ".join(
+             f"(CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5)"
+             f" * (CAST(tf{i} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+             f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+             for i in range(len(_BM25_TERMS))
+         )} AS raw
+  FROM tf CROSS JOIN stats
+)
+SELECT doc_id, floor(raw * 10000 + 0.5) / 10000.0 AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("q103_bm25", _Q103_ORACLE, "BM25 (rational-idf) ranked retrieval, top-20")
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    lower = F.lower(F.col("text"))
+    tf_cols = [
+        F.regexp_count(lower, F.lit(rf"\b{t}\b")).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    tf = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("dl"),
+        *tf_cols,
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def contrib(i: int):
+        tfi = F.col(f"tf{i}").cast("double")
+        dfi = F.col(f"df{i}").cast("double")
+        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + F.lit(0.5)) / (
+            dfi + F.lit(0.5)
+        )
+        norm = tfi + F.lit(_BM25_K1) * (
+            F.lit(1.0) - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tfi * F.lit(_BM25_K1 + 1.0)) / norm
+
+    # fixed association (t0 + t1) + t2 — mirrored exactly by the SQL's
+    # left-to-right "+" chain, so the float sum is order-identical
+    raw = contrib(0)
+    for i in range(1, len(_BM25_TERMS)):
+        raw = raw + contrib(i)
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", (F.floor(raw * 10000 + F.lit(0.5)) / 10000.0).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
