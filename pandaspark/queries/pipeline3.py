@@ -36,6 +36,32 @@ FROM (SELECT doc_id, source, n_tok,
 """
 
 
+def chunk_manifest(docs: DataFrame) -> DataFrame:
+    """The chunking transform itself: (doc_id, source, text) → overlapping
+    token-window manifest rows. Pure stateless map + bounded explode, so the
+    SAME plan serves batch (q97) and a streaming append-mode source
+    (streaming.stream_chunk_manifest) — the tokenizer front door runs
+    identically over a parquet corpus and a live document feed."""
+    n_tok = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("n_tok") - 1, F.lit(0).cast("long")),
+        F.lit(_STRIDE).cast("long"),
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", n_tok.alias("n_tok"))
+        .select("doc_id", "source", "n_tok", F.explode(starts).alias("tok_start"))
+        .select(
+            "doc_id",
+            "source",
+            "tok_start",
+            F.least(F.col("tok_start") + _CHUNK, F.col("n_tok")).alias("tok_end"),
+            (F.col("tok_start") / _STRIDE).cast("long").alias("chunk_idx"),
+        )
+    )
+
+
 @register("q97_chunk_manifest", _Q97_ORACLE, "sliding-window token-chunk manifest with overlap")
 def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window manifest (chunk 32 / stride 24): each doc
@@ -44,26 +70,13 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a single map stage whose output feeds the tokenizer.
     Zero-token docs still yield one empty chunk row (the manifest must
     account for every input doc)."""
-    d = spread(
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", "source", "text")
-    )
-    n_tok = F.regexp_count("text", F.lit(r"\S+")).cast("long")
-    starts = F.sequence(
-        F.lit(0).cast("long"),
-        F.greatest(F.col("n_tok") - 1, F.lit(0).cast("long")),
-        F.lit(_STRIDE).cast("long"),
-    )
-    return (
-        d.select("doc_id", "source", n_tok.alias("n_tok"))
-        .select("doc_id", "source", "n_tok", F.explode(starts).alias("tok_start"))
-        .select(
-            "doc_id",
-            "source",
-            "tok_start",
-            F.least(F.col("tok_start") + _CHUNK, F.col("n_tok")).alias("tok_end"),
-            (F.col("tok_start") / _STRIDE).cast("long").alias("chunk_idx"),
+    # filter before spread so the IsNotNull pushes into the scan and the
+    # repartition carries only surviving rows (spread-after-filter rule)
+    return chunk_manifest(
+        spread(
+            load(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "source", "text")
         )
     )
 

@@ -25,13 +25,15 @@ GROUP BY l_returnflag
 
 @register("q27_quantiles", _Q27_ORACLE, "exact interpolated percentile over integer cents")
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact percentile is an object-hash aggregate (per-partition value
-    # maps); prune to the two live columns and spread the map side so the
-    # partial maps build on all cores. The aggregate buffer holds a group's
-    # value multiset — fine for report-sized groups, an OOM for hot groups
-    # at 100 TB: operators.exact_quantiles_two_phase is the scale form
-    # (range-partitioned order statistics, bit-identical by test); the
-    # registered query keeps the agg form, which wins at report scale.
+    # Exact percentile is an object-hash aggregate (per-partition
+    # value→count maps); prune to the two live columns and spread the map
+    # side so the partial maps build on all cores. The aggregate buffer is
+    # a DISTINCT-value counts map — domain-bounded (integer cents), so for
+    # discrete money columns it stays small no matter how hot the group.
+    # For continuous domains (raw doubles, distinct ≈ rows) the buffer
+    # degenerates to the group's size: operators.exact_quantiles_two_phase
+    # is that scale form (range-partitioned order statistics, bit-identical
+    # by test); the registered query keeps the agg form, which wins here.
     li = spread(load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"))
     c = cents("l_extendedprice")
     return li.groupBy("l_returnflag").agg(

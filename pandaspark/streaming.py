@@ -32,6 +32,42 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a documents directory — the live-ingest form
+    of the corpus scan (new parquet drops = new docs)."""
+    reader = spark.readStream.format(fmt).schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_chunk_manifest(docs_stream: DataFrame) -> DataFrame:
+    """Streaming tokenizer front door: the SAME chunk_manifest transform as
+    batch q97 applied to a document stream. Stateless map + bounded explode
+    → append output mode, no watermark, no state store; each micro-batch
+    emits its docs' chunk rows exactly once. Batch parity asserted in
+    test_streaming_multimodal.py."""
+    from .queries.pipeline3 import chunk_manifest
+
+    return chunk_manifest(docs_stream)
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

@@ -200,3 +200,28 @@ def test_feature_extract_composes_with_similarity(spark, media_dir):
 
     with pytest.raises(Exception, match="NotImplementedError|requires"):
         extract_features(df).collect()
+
+
+def test_stream_chunk_manifest_matches_batch(spark, tmp_path_factory):
+    """The streaming chunk manifest over a multi-batch document feed must
+    emit exactly the batch q97 rows (stateless map → append parity)."""
+    from pandaspark.queries import load
+    from pandaspark.streaming import read_document_stream, run_to_memory, stream_chunk_manifest
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    # several small files so maxFilesPerTrigger forces multiple micro-batches
+    load(spark, SF_DIR, "documents").repartition(4).write.mode("overwrite").parquet(d)
+
+    got = run_to_memory(
+        stream_chunk_manifest(read_document_stream(spark, d, max_files_per_trigger=1)),
+        "chunks_stream",
+    )
+    # batch side reads the SAME re-partitioned files through the same
+    # shared transform, so any divergence is streaming-specific
+    from pandaspark.queries.pipeline3 import chunk_manifest
+
+    want = chunk_manifest(spark.read.parquet(d).select("doc_id", "source", "text"))
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["tok_start"], r["tok_end"], r["source"])
+    assert sorted(map(key, (r.asDict() for r in got.collect()))) == sorted(
+        map(key, (r.asDict() for r in want.collect()))
+    )
