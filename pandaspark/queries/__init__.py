@@ -206,7 +206,7 @@ from . import pipeline3  # noqa: E402,F401
 _VERIFY_FIRST = [
     # (1) NEW in round 5 — never seen by any driver round
     "q100_kmeans", "q101_yoy_growth", "q102_share_of_parent",
-    "q103_bm25",
+    "q103_bm25", "q104_revenue_trend",
     "q89_volume_shipping", "q90_market_share", "q91_returned_items",
     "q92_order_count_dist", "q93_top_supplier", "q94_small_qty_revenue",
     "q95_or_predicate_revenue", "q96_dormant_customers",

@@ -519,3 +519,86 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
         round4(F.col("rev_cents").cast("double") / tot.cast("double")).alias("region_share"),
     )
+
+
+# --- q104: per-group OLS revenue trend --------------------------------------
+
+_Q104_ORACLE = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST(date_diff('month', DATE '1995-01-01',
+                        date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, m
+),
+s AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(m * m) AS BIGINT) AS sxx,
+         CAST(sum(m * y) AS BIGINT) AS sxy
+  FROM monthly GROUP BY n_name
+)
+SELECT n_name, n AS n_months,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000.0
+         AS slope_eur_per_month,
+       floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000.0
+         AS mean_monthly_eur
+FROM s
+"""
+
+
+@register("q104_revenue_trend", _Q104_ORACLE, "per-nation OLS revenue slope, exact integer sums")
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise least-squares trend with ZERO float aggregation: the five
+    OLS sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact BIGINT sums
+    over (month-index, cents) — associative, partition-order-independent —
+    and slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) touches doubles only in one
+    final division + round4. Two hash aggregates (orders→monthly on the
+    join shuffle, monthly→stats on |nations| rows); dims broadcast. The
+    same sufficient-statistics shape is how a 100 TB trend fit stays one
+    pass — no per-group matrix solve, no collect."""
+    o = load(spark, sf_dir, "orders")
+    dims = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    monthly = (
+        o.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "n_name",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate").cast("date")),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    s = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.sum(F.col("m") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    return s.select(
+        "n_name",
+        F.col("n").alias("n_months"),
+        round4(slope / F.lit(100.0)).alias("slope_eur_per_month"),
+        round4(mean / F.lit(100.0)).alias("mean_monthly_eur"),
+    )
