@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load, register, spread
+from . import load, register, round4, spread
 
 _CHUNK = 32  # tokens per chunk
 _STRIDE = 24  # tokens between chunk starts (CHUNK - STRIDE = 8 overlap)
@@ -70,14 +70,12 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a single map stage whose output feeds the tokenizer.
     Zero-token docs still yield one empty chunk row (the manifest must
     account for every input doc)."""
-    # filter before spread so the IsNotNull pushes into the scan and the
-    # repartition carries only surviving rows (spread-after-filter rule)
+    # the isNotNull invariant lives in chunk_manifest; Catalyst pushes that
+    # deterministic filter through spread's repartition into the scan, so
+    # the shuffle still carries only surviving rows (verified: PushedFilters
+    # shows IsNotNull(text) with this shape)
     return chunk_manifest(
-        spread(
-            load(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull())
-            .select("doc_id", "source", "text")
-        )
+        spread(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     )
 
 
@@ -362,11 +360,15 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(lower, F.lit(rf"\b{t}\b")).cast("long").alias(f"tf{i}")
         for i, t in enumerate(_BM25_TERMS)
     ]
+    # tf feeds BOTH the 1-row stats aggregate and the scoring join; the
+    # regex projection sits ABOVE spread's exchange, so exchange reuse
+    # alone would still run the 4 regex passes once per consumer — cut the
+    # plan here so the per-doc scan work happens exactly once
     tf = d.select(
         "doc_id",
         F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("dl"),
         *tf_cols,
-    )
+    ).localCheckpoint(eager=False)
     stats = tf.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
@@ -395,7 +397,7 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = raw + contrib(i)
     return (
         tf.crossJoin(F.broadcast(stats))
-        .select("doc_id", (F.floor(raw * 10000 + F.lit(0.5)) / 10000.0).alias("bm25"))
+        .select("doc_id", round4(raw).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )

@@ -492,8 +492,9 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-parent without a wide window: the per-(region, nation)
     aggregate is grouping-bounded (≤ |nations| rows), so the region-total
     window runs over a tiny frame. Integer-cents numerator/denominator and
-    one round4 division keep the share engine-exact. Dim chain broadcasts;
-    the fact shuffles once on custkey."""
+    one round4 division keep the share engine-exact. The dim chain
+    broadcasts onto the fact scan; the only shuffle is the tiny
+    (region, nation) group-key aggregate."""
     o = load(spark, sf_dir, "orders")
     dims = (
         load(spark, sf_dir, "customer")
@@ -544,8 +545,10 @@ s AS (
   FROM monthly GROUP BY n_name
 )
 SELECT n_name, n AS n_months,
-       floor(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000.0
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 * 10000 + 0.5)
+                 / 10000.0 END
          AS slope_eur_per_month,
        floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000.0
          AS mean_monthly_eur
@@ -592,9 +595,13 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("m") * F.col("m")).alias("sxx"),
         F.sum(F.col("m") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
+    # a single-month group has a zero OLS denominator: NULL slope (matches
+    # the oracle's CASE), never an ANSI-mode DIVIDE_BY_ZERO crash
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(
+        denom != 0.0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / denom,
+    )
     mean = F.col("sy").cast("double") / F.col("n").cast("double")
     return s.select(
         "n_name",
