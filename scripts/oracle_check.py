@@ -10,6 +10,7 @@ Usage: python scripts/oracle_check.py [sf_dir] [query_prefix ...]
 """
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -53,14 +54,17 @@ def value_hash(cols, rows):
 
 
 def main():
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .appName("oracle-check")
-        .getOrCreate()
     )
+    if os.environ.get("OC_TZ"):
+        # hostile-session-timezone probe: queries must pin UTC themselves
+        builder = builder.config("spark.sql.session.timeZone", os.environ["OC_TZ"])
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(
