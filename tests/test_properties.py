@@ -240,3 +240,64 @@ def test_kmeans_matches_numpy_reference(spark, tmp_path_factory):
         ref[k] = (cnt + 1, ids + i, inertia + int(np.floor(d * 10000 + 0.5)))
     ref = {k: (c, s, ie / 10000.0) for k, (c, s, ie) in ref.items()}
     assert got == ref
+
+
+def test_ols_trend_matches_numpy_reference(spark, tmp_path_factory):
+    """q104's integer-sufficient-statistics OLS against numpy.polyfit on a
+    small controlled dataset, including the single-month NULL-slope edge."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("olsprop")
+    rng = np.random.RandomState(11)
+    orders, custs, nations = [], [], []
+    # nation 0: 6 months of data; nation 1: single month (NULL slope edge)
+    for nk, months in ((0, range(6)), (1, [2])):
+        custs.append((nk * 10, f"c{nk}", nk, 0.0, "SEG"))
+        nations.append((nk, f"NATION_{nk}", 0))
+        for m in months:
+            for i in range(3):
+                orders.append(
+                    (
+                        len(orders),
+                        nk * 10,
+                        "O",
+                        float(round(rng.uniform(10, 500), 2)),
+                        _dt.datetime(1995, 1 + m, 5 + i),
+                        "1-URGENT",
+                    )
+                )
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+    spark.createDataFrame(nations, "n_nationkey long, n_name string, n_regionkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "nation.parquet"))
+
+    got = {r.n_name: r for r in REGISTRY["q104_revenue_trend"].fn(spark, str(tmp)).collect()}
+
+    # reference: cents-exact monthly sums, then polyfit
+    monthly: dict[tuple, int] = {}
+    for ok, ck, _st, price, dt_, _pr in orders:
+        nk = ck // 10
+        m = (dt_.year - 1995) * 12 + (dt_.month - 1)
+        monthly[(nk, m)] = monthly.get((nk, m), 0) + int(round(price * 100))
+    for nk, name in ((0, "NATION_0"), (1, "NATION_1")):
+        pts = sorted((m, c) for (k, m), c in monthly.items() if k == nk)
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        assert got[name].n_months == len(pts)
+        if len(pts) < 2:
+            assert got[name].slope_eur_per_month is None
+        else:
+            slope = np.polyfit(xs, ys, 1)[0] / 100.0
+            assert abs(got[name].slope_eur_per_month - slope) < 1e-3
+        mean = ys.mean() / 100.0
+        assert abs(got[name].mean_monthly_eur - mean) < 1e-3
