@@ -67,9 +67,12 @@ def main():
     spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # fixture tables are single files; Spark-written tables are
+        # directories of part files — glob those for DuckDB
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
