@@ -195,7 +195,7 @@ from . import pipeline3  # noqa: E402,F401
 # registration order under a wall-clock budget (observed rounds 1-3: ~50
 # entries/round). Rather than relying on module import order, reorder the
 # registry explicitly per round so queries lacking a recent green driver
-# row come FIRST. Round 5 priority: (1) the new tranche (q89-q100, never
+# row come FIRST. Round 5 priority: (1) the new tranche (q89-q104, never
 # driver-seen), (2) round 4's additions (q74-q88 — no CORRECTNESS_r04 was
 # recorded, so never driver-checked either), (3) the queries whose plans
 # round 4/5 REWROTE (spread scan-parallelism, q66 two-level agg, q55

@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
@@ -34,12 +34,14 @@ def norm(v):
         # repr = shortest round-trip (exact): the driver compares exactly,
         # so this sweep must too — .9g would hide >9-sig-digit divergence
         return repr(v)
+    if isinstance(v, bool):
+        # tag booleans so a BOOLEAN column can't hash-match an INT 0/1
+        # column (the driver's schema check distinguishes the types)
+        return f"b{int(v)}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, bool):
-        return str(int(v))
     return str(v)
 
 

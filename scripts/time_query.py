@@ -6,7 +6,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _args = sys.argv[1:]
 if _args and os.path.isdir(_args[0]):
@@ -33,13 +33,19 @@ def main():
     picks = [n for n in qs if any(n.startswith(p) for p in NAMES)] if NAMES else list(qs)
     if NAMES and not picks:
         sys.exit(f"no registry query matches prefixes {NAMES}")
+    def run_once(name: str) -> None:
+        # noop sink, same as bench.py: count() would let Catalyst prune
+        # projection-final compute (confirmed: q68's quantization vanishes
+        # from the count plan), under-measuring exactly the map-heavy
+        # queries this timer exists to profile
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     for name in picks:
-        # one warm-up (plan compile, scan caching), then min-of-RUNS
-        qs[name](spark, SF_DIR).count()
+        run_once(name)  # warm-up: plan compile, codegen, scan caching
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
+            run_once(name)
             best = min(best, time.time() - t0)
         print(f"{name}  {best:.3f}s")
 
