@@ -223,7 +223,7 @@ _VERIFY_FIRST = [
     # heavy-tail slot for one round so the new plan gets hash-checked)
     "q05_german_numbers", "q06_fingerprint", "q12_dedup_first_wins",
     "q69_contamination", "q70_repetition_score", "q73_boilerplate_ngrams",
-    "q66_distinctive_terms", "q55_dedup_pipeline",
+    "q66_distinctive_terms", "q55_dedup_pipeline", "q17_anti_join",
     # (4) last driver-checked in r01/r02 (rotated out of r03's budget)
     "q22_regex_extract", "q23_ci_search", "q24_daily_users",
     "q25_tumbling_window", "q26_sessionize", "q29_cube",

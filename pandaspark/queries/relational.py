@@ -471,15 +471,24 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_ORACLE = """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
 GROUP BY c_mktsegment
 """
 
 
 @register("q17_anti_join", _Q17_ORACLE, "left_anti join (NOT EXISTS)")
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order in the final year — scoped so the anti join
+    has real survivors at every verification scale (the unscoped form was
+    structurally EMPTY: every fixture customer has some order, so the check
+    hash-matched two empty sets and proved nothing). The date filter pushes
+    into the anti side's scan before the custkey shuffle."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2001-01-01")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
