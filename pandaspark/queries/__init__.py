@@ -210,7 +210,7 @@ _VERIFY_FIRST = [
     "q105_forecast_revenue", "q106_product_profit", "q107_important_parts",
     "q108_ship_priority_dist", "q109_supplier_part_stats",
     "q110_dominant_suppliers", "q111_waiting_suppliers",
-    "q112_pagerank", "q113_bigram_lm",
+    "q112_pagerank", "q113_bigram_lm", "q114_lm_novelty",
     # (1) round-5 additions — never seen by any driver round
     "q100_kmeans", "q101_yoy_growth", "q102_share_of_parent",
     "q103_bm25", "q104_revenue_trend",

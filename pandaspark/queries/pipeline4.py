@@ -234,3 +234,76 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hist") + F.col("v")).alias("p_den"),
         )
     )
+
+
+_Q114_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i
+        FROM toks WHERE length(t) >= 2)
+), model AS (
+  SELECT lang, w1, w2 FROM bg GROUP BY lang, w1, w2 HAVING count(*) >= 3
+)
+SELECT bg.doc_id,
+       any_value(bg.lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN model.w1 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_known
+FROM bg
+LEFT JOIN model ON model.lang = bg.lang AND model.w1 = bg.w1 AND model.w2 = bg.w2
+GROUP BY bg.doc_id
+"""
+
+
+@register(
+    "q114_lm_novelty",
+    _Q114_ORACLE,
+    "per-document OOV-bigram rate against the corpus bigram LM",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring half of the bigram LM (q113 is the training half): each
+    document's bigrams check membership in the corpus model (bigrams seen
+    >= 3 times in its language), yielding an exact integer coverage
+    (n_known / n_bigrams) — the deterministic stand-in for perplexity-based
+    quality filtering (a float log-prob would diverge across libm
+    implementations; a rational never does). One explode feeds BOTH sides:
+    the model is an aggregate of the same bigram partials the scorer
+    shuffles, so the corpus is scanned once. The membership join shuffles
+    on (lang, w1, w2) — the model side is already deduplicated, so the
+    fanout per key is exactly 1 and the join output equals the bigram
+    count (no blowup)."""
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(_norm_text(), " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+            )
+        ).alias("z"),
+    ).select("doc_id", "lang", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    model = (
+        bg.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("lang", "w1", "w2", F.lit(1).alias("_known"))
+    )
+    return (
+        bg.join(model, ["lang", "w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("_known"), F.lit(0))).cast("long").alias("n_known"),
+        )
+    )
