@@ -117,10 +117,9 @@ def main() -> None:
         "aggregation": "min",
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "floor_est": floor_est,
-        "slowest3": slowest,
         "detail_file": "BENCH_DETAIL.json",
     }
+    detail_extra = {"floor_est": floor_est, "slowest3": slowest}
     if duck:
         summary["spark_total_common"] = round(sum(timings[n] for n in duck), 3)
         summary["duckdb_total_common"] = round(sum(duck.values()), 3)
@@ -129,6 +128,7 @@ def main() -> None:
         json.dump(
             {
                 **summary,
+                **detail_extra,
                 "queries": timings,
                 "duckdb_queries": duck,
                 "comparison_note": (

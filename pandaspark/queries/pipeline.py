@@ -69,7 +69,9 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(_norm_text(), " "), lambda t: (t != "") & (F.length(t) >= 3)
         )
     )
-    words = d.select("lang", F.explode(terms).alias("term"))
+    words = d.select("lang", F.explode_outer(terms).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     lang_df = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("in_df"))
     # global df folds out of the per-lang aggregate (sum over langs) — the
     # second aggregation reads the small (lang, term) frame, not the corpus
@@ -163,7 +165,7 @@ def _contamination_frames(spark: SparkSession, sf_dir: str):
     )
     hashed = (
         d.select("doc_id", F.split(_norm_text(), " ").alias("w"))
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+        .select("doc_id", F.explode_outer(F.array_distinct(grams)).alias("g"))
         .select("doc_id", sha_int("g").alias("h"))
     )
     bench = hashed.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
@@ -469,7 +471,7 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_cnt = (
         d.select("doc_id", "source", F.split(_norm_text(), " ").alias("w"))
-        .select("doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram"))
+        .select("doc_id", "source", F.explode_outer(F.array_distinct(grams)).alias("gram"))
         .groupBy("source", "gram")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
         .filter(F.col("df_cnt") >= 2)

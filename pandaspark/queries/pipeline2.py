@@ -115,7 +115,7 @@ LIMIT 100
 @register("q75_rare_token_score", _Q75_ORACLE, "rare-token fraction quality score, top-100")
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
-    words = d.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("term")).filter(
+    words = d.select("doc_id", F.explode_outer(F.split(_norm_text(), " ")).alias("term")).filter(
         F.col("term") != ""
     )
     gc = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
@@ -469,7 +469,7 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grams = d.select("doc_id", "lang", _norm_text().alias("t")).select(
-        "doc_id", "lang", F.explode(trigrams).alias("g")
+        "doc_id", "lang", F.explode_outer(trigrams).alias("g")
     )
     train_df = (
         grams.filter(F.col("doc_id") % _TEST_MOD != 0)

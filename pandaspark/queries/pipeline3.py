@@ -51,7 +51,7 @@ def chunk_manifest(docs: DataFrame) -> DataFrame:
     return (
         docs.filter(F.col("text").isNotNull())
         .select("doc_id", "source", n_tok.alias("n_tok"))
-        .select("doc_id", "source", "n_tok", F.explode(starts).alias("tok_start"))
+        .select("doc_id", "source", "n_tok", F.explode_outer(starts).alias("tok_start"))
         .select(
             "doc_id",
             "source",

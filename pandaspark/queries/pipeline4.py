@@ -209,7 +209,7 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("t") >= 2)
     bg = toks.select(
         "lang",
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(
                 F.slice(F.col("t"), 1, F.size("t") - 1),
                 F.slice(F.col("t"), 2, F.size("t") - 1),
@@ -285,7 +285,7 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.select(
         "doc_id",
         "lang",
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(
                 F.slice(F.col("t"), 1, F.size("t") - 1),
                 F.slice(F.col("t"), 2, F.size("t") - 1),

@@ -286,7 +286,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         d.select("doc_id", _norm_text().alias("t"))
         .repartition(par, "doc_id")
-        .select("doc_id", F.explode(raw_shingles).alias("s"))
+        .select("doc_id", F.explode_outer(raw_shingles).alias("s"))
         .select("doc_id", F.pmod(sha_int("s"), F.lit(_P)).alias("h"))
     )
     sigs = hashed.groupBy("doc_id").agg(

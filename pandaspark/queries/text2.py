@@ -341,7 +341,7 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     words = d.select(
-        "lang", F.explode(F.split(_norm_text(), " ")).alias("word")
+        "lang", F.explode_outer(F.split(_norm_text(), " ")).alias("word")
     ).filter(F.col("word") != "")
     counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "word")

@@ -301,3 +301,37 @@ def test_ols_trend_matches_numpy_reference(spark, tmp_path_factory):
             assert abs(got[name].slope_eur_per_month - slope) < 1e-3
         mean = ys.mean() / 100.0
         assert abs(got[name].mean_monthly_eur - mean) < 1e-3
+
+
+def test_q118_prefix_filter_equals_naive(spark, ddb):
+    """Prefix-filter completeness (the AllPairs/PPJoin pigeonhole theorem),
+    checked against ground truth: the registered q118 plan never prunes a
+    true pair. Naive all-pairs is only feasible on a subset (list_intersect
+    over every pair costs ~30s corpus-wide in DuckDB), so the equality is
+    asserted for all pairs with both doc_ids < 200 — which still covers 10
+    true near-dup pairs at sf0.001."""
+    from pandaspark.queries import REGISTRY
+
+    from .conftest import SF_DIR
+
+    bound = 200
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.uni)
+        for r in REGISTRY["q118_prefix_filter_join"].fn(spark, SF_DIR).collect()
+        if r.doc_a < bound and r.doc_b < bound
+    }
+    naive = ddb.execute(f"""
+WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE text IS NOT NULL AND doc_id < {bound}),
+sh AS (SELECT doc_id, list_distinct([substring(t, i, 16)
+                  FOR i IN range(1, greatest(length(t) - 15, 1) + 1)]) AS s FROM norm),
+sz AS (SELECT doc_id, s, length(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             length(list_intersect(a.s, b.s)) AS i, a.n + b.n AS ns
+      FROM sz a JOIN sz b
+        ON a.doc_id < b.doc_id AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9)
+SELECT da, db, i, ns - i AS u FROM p WHERE i * 10 >= (ns - i) * 9
+""").fetchall()
+    want = {(da, db): (i, u) for da, db, i, u in naive}
+    assert want, "naive subset found no pairs — test would be vacuous"
+    assert got == want
