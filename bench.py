@@ -113,13 +113,18 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "runs_per_query": runs,
-        "aggregation": "min",
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "detail_file": "BENCH_DETAIL.json",
     }
-    detail_extra = {"floor_est": floor_est, "slowest3": slowest}
+    # line headroom at 125+ queries: runs/aggregation/detail_file/floor/
+    # slowest live only in BENCH_DETAIL.json
+    detail_extra = {
+        "runs_per_query": runs,
+        "aggregation": "min",
+        "detail_file": "BENCH_DETAIL.json",
+        "floor_est": floor_est,
+        "slowest3": slowest,
+    }
     if duck:
         summary["spark_total_common"] = round(sum(timings[n] for n in duck), 3)
         summary["duckdb_total_common"] = round(sum(duck.values()), 3)
