@@ -40,11 +40,15 @@ def _col(c: Column | str) -> Column:
 def parse_german_number(c: Column | str) -> Column:
     """'1.234,56' → 1234.56 (exact decimal).
 
-    Strip thousands '.', then ',' → '.' — same two-step replace as the
-    reference. Decimal (not double) so money arithmetic stays exact.
+    Strip thousands '.', then ',' → '.' — the same transform as the
+    reference's two-step replace, executed as ONE translate pass:
+    translate(c, ',.', '.') maps ',' → '.' and deletes '.' (unpaired
+    matching chars are removed). Character-for-character identical to the
+    regex pair on any input, but translate is a plain codegen'd char scan —
+    no regex engine on a 100 TB hot path. Decimal (not double) so money
+    arithmetic stays exact.
     """
-    c = _col(c)
-    cleaned = F.regexp_replace(F.regexp_replace(c, r"\.", ""), ",", ".")
+    cleaned = F.translate(_col(c), ",.", ".")
     return cleaned.cast("decimal(18,2)")
 
 

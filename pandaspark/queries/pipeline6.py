@@ -403,6 +403,10 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("neg", -F.col("cnt"))
+        # vocab-sized (thousands of rows) but feeds FOUR consumers (rank
+        # partition + offsets, cumsum partition + offsets, total): cut the
+        # corpus-explode lineage so the scan+explode runs once
+        .localCheckpoint(eager=False)
     )
     # global rank + global cumsum WITHOUT a single-partition window: both
     # stages range-partition on the (count desc, gram) total order

@@ -137,7 +137,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spread(load(spark, sf_dir, "lineitem").select("l_extendedprice"))
     dec_price = F.col("l_extendedprice").cast("decimal(12,2)")
-    german = F.regexp_replace(dec_price.cast("string"), r"\.", ",")
+    german = F.translate(dec_price.cast("string"), ".", ",")
     p = li.select(
         dec_price.alias("dec_price"), parse_german_number(german).alias("parsed")
     )

@@ -416,6 +416,9 @@ FROM ex LEFT JOIN hits h USING (qid)
 
 @register("q80_ann_recall", _Q80_ORACLE, "recall@k of IVF ANN vs exact cosine baseline")
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: deliberately NOT checkpointed — exact feeds two consumers, but
+    # both reads land in one job whose stages share the scan; measured at
+    # sf0.1, cutting lineage here serializes the pipelines and LOSES ~0.4s
     exact = q40(spark, sf_dir).select("qid", "vec_id")
     approx = q46(spark, sf_dir).select("qid", "vec_id")
     hits = (
