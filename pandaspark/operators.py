@@ -205,8 +205,12 @@ def exact_quantiles_two_phase(
     requested quantile, named q_<percent-with-underscores>."""
     one = F.lit(1)
     vals = df.select(F.col(group_col), value.alias("_v"))
-    ranged = vals.repartitionByRange(group_col, "_v").withColumn(
-        "_pid", F.spark_partition_id()
+    # checkpoint-the-layout (see sequential_ids): counts and ranks must
+    # read one materialized range partitioning, not two re-sampled ones
+    ranged = (
+        vals.repartitionByRange(group_col, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     pc = ranged.groupBy("_pid", group_col).agg(F.count(one).alias("_n"))
     off_w = (
@@ -314,7 +318,18 @@ def sequential_ids(
     counts prefix-sum into broadcast offsets — the only single-partition
     work is a window over n_partitions rows. Exact-equal to the global
     window form by construction (asserted in tests)."""
-    ranged = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
+    # CHECKPOINT, not just lineage: repartitionByRange picks its range
+    # bounds by sampling with a seed derived from the physical RDD id, so
+    # two independent evaluations of the same plan can land rows in
+    # DIFFERENT partitions. The offsets job and the numbering job below
+    # both read `ranged`; without pinning one materialization they can
+    # disagree (observed at 136k input rows: max id 153k > n rows). The
+    # checkpoint makes the partition layout a fact, not a plan.
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     part_w = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc_nulls_first() for c in order_cols]
     )
@@ -352,8 +367,14 @@ def two_phase_running_total(
     tests/test_operators.py asserts exact equality with the naive global
     window.
     """
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # Same checkpoint-the-layout rule as sequential_ids: the offsets job
+    # and the cumsum job must see ONE range-partitioned materialization
+    # (range bounds are sampled per physical evaluation and not stable
+    # across re-evaluations of the plan).
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     part_w = Window.partitionBy("_pid").orderBy(
         *[F.col(c).asc_nulls_first() for c in order_cols]

@@ -76,7 +76,14 @@ from .text import _norm_text
 
 # --- q115: SemDeDup (cluster-bounded cosine near-dedup) ---------------------
 
-_SD_K = 64  # fixed centroids = lowest vec_ids (deterministic seeds)
+_SD_DIVISOR = 32  # target mean cluster occupancy: K = max(16, N/32)
+# centroids = the K lowest vec_ids (deterministic seeds). K SCALES WITH THE
+# CORPUS — the SemDeDup scale contract: fixed K makes per-cluster occupancy
+# (and intra-cluster pairs, which grow with occupancy^2) rise linearly with
+# N, turning the pair stage quadratic (measured 6.5x time at 5x data with
+# K=64). K = N/32 pins expected occupancy at ~32, so total pair work is
+# ~N*32/2 — linear in the corpus, which is the entire point of the recipe.
+_SD_K_SQL = f"(SELECT greatest(16, count(*) // {_SD_DIVISOR}) FROM embeddings)"
 _SD_DIMS = 64
 _SD_TAU = 0.35  # threshold on the round4'd cosine (engine-exact boundary)
 
@@ -94,7 +101,7 @@ _Q115_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cluster, v AS cen FROM e WHERE vec_id < {_SD_K}),
+c0 AS (SELECT vec_id AS cluster, v AS cen FROM e WHERE vec_id < {_SD_K_SQL}),
 a AS (
   SELECT vec_id, v, cluster FROM (
     SELECT e.vec_id, e.v, c.cluster,
@@ -132,8 +139,18 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
     )
-    cents = e.filter(F.col("vec_id") < _SD_K).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("cen")
+    # corpus-scaled K (see _SD_DIVISOR note): a 1-row count broadcast keeps
+    # the plan fully lazy — no driver-side count() round-trip
+    k = load(spark, sf_dir, "embeddings").agg(
+        F.greatest(
+            F.lit(16).cast("long"),
+            F.floor(F.count(F.lit(1)) / _SD_DIVISOR).cast("long"),
+        ).alias("k")
+    )
+    cents = (
+        e.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cen"))
     )
 
     def dist(v, c):

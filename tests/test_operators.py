@@ -124,10 +124,15 @@ def test_two_phase_running_total_equals_global_window(spark):
     w = {r.o_orderkey: r.rt for r in want.collect()}
     assert g == w and len(g) > 0
 
-    # the scale property: no single-partition exchange of the FULL data —
-    # the only Exchange SinglePartition allowed is the tiny offsets branch
+    # the scale property: the full-data cumsum window is keyed by the
+    # range-partition id (parallel), never partition-less. The range
+    # exchange itself is no longer visible in this plan — the layout is
+    # pinned behind a localCheckpoint (Scan ExistingRDD) so the offsets
+    # job and the cumsum job cannot re-sample different range bounds.
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    norm = plan.lower().replace(" ", "")
+    assert "windowspecdefinition(_pid" in norm
+    assert "existingrdd" in norm  # checkpointed layout, not a re-evaluated plan
 
 
 def test_sequence_packing_prefix_equals_two_phase_form(spark):
@@ -234,13 +239,17 @@ def test_exact_quantiles_two_phase_equals_builtin_percentile(spark):
         ).collect()
     }
     assert got == want and len(got) == 3
-    # scale property: ranking runs under range partitioning, not a
-    # per-group object aggregate holding the full value multiset
+    # scale property: local ranking windows are keyed by the pinned
+    # range-partition id (the exchange hides behind the layout checkpoint's
+    # Scan ExistingRDD — see sequential_ids), and no per-group object
+    # aggregate holds the full value multiset
     plan = (
         exact_quantiles_two_phase(li, "l_returnflag", cents, [0.5])
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    norm = plan.lower().replace(" ", "")
+    assert "windowspecdefinition(_pid" in norm
+    assert "existingrdd" in norm
     assert "ObjectHashAggregate" not in plan
 
 
