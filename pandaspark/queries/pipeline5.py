@@ -154,6 +154,8 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dist(v, c):
+        # HOF fold, not an unrolled term chain — see similarity._dot for
+        # the measured codegen-fallback regression of unrolling
         return F.aggregate(
             F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

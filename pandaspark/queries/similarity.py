@@ -20,6 +20,11 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
 
 
 def _dot(a, b):
+    # aggregate(zip_with(...)), NOT an unrolled 64-term expression chain:
+    # unrolling was tried (same 0.0 seed + left-assoc order, so bit-equal)
+    # and measured 2-4x SLOWER — the ~192-node tree exceeds codegen limits
+    # and falls back to per-row interpreted Expression.eval with 64
+    # element_at calls, while the HOF fold iterates the array natively.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
