@@ -531,3 +531,119 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PS_K)
         .select("doc_id", "n_chars", round4(F.col("pri")).alias("priority"))
     )
+
+
+# --- q126: MinHash estimation-accuracy evaluation ----------------------------
+#
+# Completes the dedup family the way q80 completes ANN: for every LSH
+# candidate pair, compare the signature-estimated Jaccard (matching slots /
+# 16) against the exact 5-gram-shingle Jaccard the verify stage computes.
+# The per-pair error distribution is what calibrates the banding threshold
+# (how much does a 16-slot sketch lie?) before a 100 TB run commits to it.
+# Cost shape: the signature scan (shared with q34), a candidate-bounded
+# estimate join, and q55's candidate-bounded exact verify — never all-pairs.
+
+from .text import (  # noqa: E402
+    _minhash_oracle_ctes,
+    _N_HASHES,
+    _SHINGLE_K,
+    candidates_from_signatures,
+    minhash_signatures,
+)
+
+_Q126_EST = " + ".join(
+    f"CAST(sa.m{i} = sb.m{i} AS BIGINT)" for i in range(_N_HASHES)
+)
+
+_Q126_ORACLE = f"""{_minhash_oracle_ctes()},
+sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, {_SHINGLE_K})
+                        FOR i IN range(1, greatest(length(t) - {_SHINGLE_K - 1}, 1) + 1)]) AS sh
+  FROM norm
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, ({_Q126_EST}) AS n_eq
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard,
+       {sql_round4("abs(est_jaccard - jaccard)")} AS abs_err
+FROM (
+  SELECT e.doc_a, e.doc_b,
+         {sql_round4(f"CAST(e.n_eq AS DOUBLE) / {_N_HASHES}.0")} AS est_jaccard,
+         {sql_round4(
+             "CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+             " / CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+         )} AS jaccard
+  FROM est e JOIN sh a ON a.doc_id = e.doc_a JOIN sh b ON b.doc_id = e.doc_b)
+"""
+
+
+@register(
+    "q126_minhash_accuracy",
+    _Q126_ORACLE,
+    "per-candidate MinHash Jaccard estimate vs exact (sketch calibration)",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signatures feed BOTH the banding join and the estimate join; pin one
+    # materialization (tiny: one row + 16 longs per doc)
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    cand = candidates_from_signatures(sigs).localCheckpoint(eager=False)
+    n_eq = sum(
+        (F.col("sa")[i] == F.col("sb")[i]).cast("long") for i in range(_N_HASHES)
+    )
+    est = (
+        cand.join(
+            F.broadcast(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    # exact verify reuses q55's candidate-bounded shape: shingle SETS only
+    # for docs that appear in some pair
+    tc = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
+            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
+        )
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", _norm_text().alias("t"))
+        .select("doc_id", shingles.alias("sh"))
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sha", "shb"))).cast("double")
+    return (
+        est.join(
+            F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            round4(F.col("n_eq").cast("double") / F.lit(float(_N_HASHES))).alias(
+                "est_jaccard"
+            ),
+            round4(inter / union).alias("jaccard"),
+        )
+        .withColumn("abs_err", round4(F.abs(F.col("est_jaccard") - F.col("jaccard"))))
+    )

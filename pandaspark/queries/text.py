@@ -253,14 +253,11 @@ SELECT keep_doc, drop_doc, jaccard FROM (
 WHERE jaccard >= 0.9"""
 
 
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures from 5-gram shingles, banded into LSH buckets;
-    bucket-join yields candidate near-dup pairs (doc_a < doc_b).
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-slot MinHash signature: [doc_id, sig array<long>].
 
-    Pure built-in expressions (no MLlib model fit needed, no UDF): at 100 TB
-    this is one map pass + a groupBy on (band, bucket-hash) whose fanout is
-    bounded by band width — the canonical scalable near-dedup plan.
-    """
+    The shared signature stage of q34/q55/q126 — one map pass + a 16-min
+    hash aggregate (see body comments)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # Normalized text goes into its own projection first (see q33: lambdas
     # must capture a column ref, not the regex expression). No
@@ -295,9 +292,15 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a_c, b_c) in enumerate(_PERMS)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.array(*[f"_m{i}" for i in range(_N_HASHES)]).alias("sig")
     )
+
+
+def candidates_from_signatures(banded: DataFrame) -> DataFrame:
+    """Band the signatures into LSH buckets; bucket-join yields candidate
+    near-dup pairs (doc_a < doc_b). Fanout is bounded by band width — the
+    canonical scalable near-dedup join, never all-pairs."""
     bands = banded.select(
         "doc_id",
         F.explode(
@@ -332,6 +335,11 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures → banded bucket join → candidate pairs (the q34 plan)."""
+    return candidates_from_signatures(minhash_signatures(spark, sf_dir))
 
 
 @register("q34_minhash_lsh", _Q34_ORACLE, "MinHash+LSH banding candidate pairs")
