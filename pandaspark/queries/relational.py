@@ -356,17 +356,21 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because each field is range-bounded; the guards turn a bound
     # violation into a loud error, never a silently wrong winner — and
     # `store.merge_import`/min_by remains the general-domain form.
-    ln = _bounded("l_linenumber", 10**6)
-    sk = _bounded("l_suppkey", 10**7)
+    # Bound budget: 1e2 * 1e11 * 1e5 = 1e18 < 2^63. Line numbers are tiny
+    # (TPC-H: 1..7), so their headroom goes to the suppkey field — key
+    # spaces grow with the corpus (the 5x synthetic scale-up's key-offset
+    # copies tripped the old 1e7 suppkey bound; loud error, as designed).
+    ln = _bounded("l_linenumber", 10**2)
+    sk = _bounded("l_suppkey", 10**11)
     qc = _bounded(F.round(F.col("l_quantity") * 100), 10**5, "l_quantity cents")
-    pack = ln.cast("long") * F.lit(10**12) + sk.cast("long") * F.lit(10**5) + qc.cast("long")
+    pack = ln.cast("long") * F.lit(10**16) + sk.cast("long") * F.lit(10**5) + qc.cast("long")
     return (
         li.groupBy("l_orderkey", "l_partkey")
         .agg(F.min(pack).alias("_p"))
         .select(
             "l_orderkey",
             "l_partkey",
-            (F.col("_p") % F.lit(10**12) / F.lit(10**5)).cast("long").alias("l_suppkey"),
+            (F.col("_p") % F.lit(10**16) / F.lit(10**5)).cast("long").alias("l_suppkey"),
             ((F.col("_p") % F.lit(10**5)).cast("double") / 100.0).alias("l_quantity"),
         )
     )

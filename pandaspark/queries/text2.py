@@ -283,16 +283,21 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final levenshtein verify keeps semantics exact.
 
 _Q57_ORACLE = """
+WITH n AS (SELECT DISTINCT s_name FROM supplier)
 SELECT a.s_name AS name_a, b.s_name AS name_b,
        CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
-FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+FROM n a JOIN n b ON a.s_name < b.s_name
 WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
 @register("q57_fuzzy_match", _Q57_ORACLE, "dist<=1 fuzzy self-join via SymSpell delete variants")
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = spread(load(spark, sf_dir, "supplier").select("s_name"))
+    # DISTINCT names on both sides: the contract is "match distinct keys",
+    # so a corpus with repeated names (e.g. the 5x synthetic's key-offset
+    # copies) yields each name PAIR once — without this, a row-level
+    # self-join multiplies every pair by the duplicate count squared
+    s = spread(load(spark, sf_dir, "supplier").select("s_name").distinct())
     # variants = the name itself (catches pure insert/delete) + every
     # single-character deletion; explode → (variant, name). Built with
     # F.expr because substring with a per-element dynamic length needs the
