@@ -547,7 +547,6 @@ from .text import (  # noqa: E402
     _minhash_oracle_ctes,
     _N_HASHES,
     _SHINGLE_K,
-    candidates_from_signatures,
     minhash_signatures,
 )
 
@@ -587,24 +586,57 @@ FROM (
     "per-candidate MinHash Jaccard estimate vs exact (sketch calibration)",
 )
 def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # signatures feed BOTH the banding join and the estimate join; pin one
-    # materialization (tiny: one row + 16 longs per doc)
-    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
-    cand = candidates_from_signatures(sigs).localCheckpoint(eager=False)
+    # The estimate needs both pair members' signatures. Rather than joining
+    # signatures back onto the candidate pairs (two more joins = three
+    # serialized broadcast jobs, measured +3s at sf0.1), CARRY the 16-long
+    # sig array through the band join itself: the bands shuffle grows by 16
+    # longs per row and the estimate falls out of the join output directly.
+    from .text import _BANDS, _ROWS_PER_BAND
+
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        sha_int(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[bi * _ROWS_PER_BAND + r].cast("string")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
     n_eq = sum(
         (F.col("sa")[i] == F.col("sb")[i]).cast("long") for i in range(_N_HASHES)
     )
-    est = (
-        cand.join(
-            F.broadcast(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))),
-            "doc_a",
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .join(
-            F.broadcast(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))),
-            "doc_b",
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.any_value(F.col("a.sig")).alias("sa"),
+            F.any_value(F.col("b.sig")).alias("sb"),
         )
-        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+        # consumed by the estimate AND both cand_ids legs below
+        .localCheckpoint(eager=False)
     )
+    est = cand.select("doc_a", "doc_b", n_eq.alias("n_eq"))
     # exact verify reuses q55's candidate-bounded shape: shingle SETS only
     # for docs that appear in some pair
     tc = F.col("t")
