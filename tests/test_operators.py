@@ -288,3 +288,35 @@ class TestChunkManifest:
         assert [r[2] for r in m] == [0, 24, 48]
         assert all(r[3] <= 70 for r in m)
         assert m[-1][3] == 70
+
+
+def test_sequential_ids_dense_at_scale(spark):
+    """Regression gate for the layout-pinning bug: repartitionByRange
+    samples its range bounds per physical evaluation, so before the
+    localCheckpoint pin the offsets job and the numbering job could see
+    DIFFERENT partitionings — at ~136k rows the 5x sweep produced ids
+    exceeding the row count. The invariant that catches any recurrence:
+    ids are exactly the dense sequence 1..n (so max == n == distinct)."""
+    from pyspark.sql import functions as F
+
+    from pandaspark.operators import sequential_ids, two_phase_running_total
+
+    n = 200_000
+    # non-uniform key distribution (hash-scrambled) so range sampling has
+    # real boundary choices to disagree about
+    df = spark.range(n).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("k"), F.lit(1).alias("one")
+    )
+    ids = sequential_ids(df, ["k"], alias="sid")
+    agg = ids.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("sid").alias("mx"),
+        F.min("sid").alias("mn"),
+        F.count_distinct("sid").alias("d"),
+    ).collect()[0]
+    assert (agg.cnt, agg.mx, agg.mn, agg.d) == (n, n, 1, n)
+
+    rt = two_phase_running_total(df, ["k"], F.col("one").cast("long"), alias="rt")
+    agg2 = rt.agg(F.max("rt").alias("mx"), F.count_distinct("rt").alias("d")).collect()[0]
+    # cumsum of all-ones in a total order is also the dense sequence 1..n
+    assert (agg2.mx, agg2.d) == (n, n)
