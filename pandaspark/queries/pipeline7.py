@@ -194,3 +194,77 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("l", "r").alias("merged"),
         "pair_count",
     )
+
+
+# --- q128: point-in-time (temporal) join against the SCD2 dimension ---------
+#
+# The label-leakage-safe lookup every feature store / training-data build
+# needs: join each fact to the dimension version that was valid AT THE
+# FACT'S TIME, never a later one. The dimension is q117's SCD Type-2
+# history ([valid_from, valid_to) intervals, open current row); facts are
+# the events themselves looked up ONE HOUR BACK, so events near a run
+# boundary resolve to the PREVIOUS version — the non-trivial case a naive
+# latest-value join gets wrong.
+#
+# Plan shape: equi-join on the entity key with the interval predicate as a
+# join condition; intervals partition time per key, so each fact matches
+# at most one version (no dedup stage needed). At 100 TB this shuffles on
+# user_id once; the history side is run-compressed (far smaller than the
+# event log). Left join keeps facts that predate their first interval
+# (NULL attribute = "no feature available yet" — the honest answer).
+
+from .pipeline5 import _Q117_ORACLE, q117  # noqa: E402
+
+_Q128_ORACLE = f"""
+WITH dim AS ({_Q117_ORACLE}),
+f AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR AS lookup_ts
+  FROM events
+)
+SELECT f.event_id, f.user_id, f.ts,
+       d.event_type AS attr_event_type, d.version, d.is_current
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.lookup_ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.lookup_ts < d.valid_to)
+"""
+
+
+@register(
+    "q128_pit_join",
+    _Q128_ORACLE,
+    "point-in-time join: facts to the SCD2 version valid at fact time",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = q117(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("attr_event_type"),
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+    )
+    f = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lookup_ts"),
+    )
+    return (
+        f.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("lookup_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("lookup_ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "attr_event_type",
+            "version",
+            "is_current",
+        )
+    )
