@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, spread
+from . import load, register, spread, sql_sha_int
 from .text import _norm_text
 
 # --- q127: BPE pair-merge learning ------------------------------------------
@@ -266,5 +266,115 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attr_event_type",
             "version",
             "is_current",
+        )
+    )
+
+
+# --- q129: deterministic negative sampling for contrastive training ---------
+#
+# Every contrastive/embedding training run needs negatives per anchor, and
+# at pipeline scale they must be REPRODUCIBLE (same corpus -> same pairs,
+# no RNG state to ship) and CHEAP (never a similarity scan). Standard
+# recipe: hash-derived pseudo-random candidates, resolved against the
+# corpus, filtered to cross-label, first k kept. Candidates are drawn in
+# RANK space (dense 1..N via the pinned two-phase ranking), not raw id
+# space — id spaces with holes (the 5x synthetic's key-offset copies, any
+# real corpus after dedup) would otherwise drop most candidates. Per
+# anchor: 24 hash candidates -> dedup -> resolve -> drop same-label and
+# self -> first 5 by draw order. One broadcast of the rank map's join leg,
+# windows bounded by the candidate count.
+
+_NS_ANCHORS = 20  # the 20 lowest-ranked vectors are the anchors
+_NS_DRAWS = 24
+_NS_K = 5
+
+_Q129_ORACLE = f"""
+WITH r AS (
+  SELECT vec_id, label, row_number() OVER (ORDER BY vec_id) AS rk FROM embeddings
+),
+n AS (SELECT count(*) AS c FROM embeddings),
+a AS (SELECT vec_id AS av, label AS al, rk AS ark FROM r WHERE rk <= {_NS_ANCHORS}),
+c0 AS (
+  SELECT av, al, ark, t.i,
+         {sql_sha_int("concat('neg|', CAST(av AS VARCHAR), '|', CAST(t.i AS VARCHAR))")}
+           % c + 1 AS crk
+  FROM a, n, range({_NS_DRAWS}) t(i)
+),
+c1 AS (SELECT av, al, ark, crk, min(i) AS i FROM c0 GROUP BY av, al, ark, crk),
+j AS (
+  SELECT c1.av, c1.al, c1.i, r.vec_id AS nv, r.label AS nl
+  FROM c1 JOIN r ON r.rk = c1.crk
+  WHERE r.label <> c1.al AND c1.crk <> c1.ark
+)
+SELECT av AS anchor_id, CAST(al AS BIGINT) AS anchor_label,
+       nv AS negative_id, CAST(nl AS BIGINT) AS negative_label,
+       CAST(slot AS BIGINT) AS slot
+FROM (
+  SELECT av, al, nv, nl,
+         row_number() OVER (PARTITION BY av ORDER BY i) AS slot
+  FROM j)
+WHERE slot <= {_NS_K}
+"""
+
+
+@register(
+    "q129_negative_sampling",
+    _Q129_ORACLE,
+    "reproducible cross-label negative sampling in dense rank space",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandaspark.operators import sequential_ids
+
+    from . import sha_int
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # dense 1..N ranking over vec_id (two-phase, layout-pinned); feeds the
+    # anchor filter AND the candidate-resolution join
+    r = sequential_ids(e, ["vec_id"], alias="rk").localCheckpoint(eager=False)
+    n = e.agg(F.count(F.lit(1)).alias("c"))
+    a = r.filter(F.col("rk") <= _NS_ANCHORS).select(
+        F.col("vec_id").alias("av"), F.col("label").alias("al"), F.col("rk").alias("ark")
+    )
+    draws = F.explode(F.sequence(F.lit(0), F.lit(_NS_DRAWS - 1))).alias("i")
+    c0 = (
+        a.crossJoin(F.broadcast(n))
+        .select("av", "al", "ark", "c", draws)
+        .select(
+            "av",
+            "al",
+            "ark",
+            "i",
+            (
+                sha_int(
+                    F.concat(
+                        F.lit("neg|"),
+                        F.col("av").cast("string"),
+                        F.lit("|"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % F.col("c")
+                + 1
+            ).alias("crk"),
+        )
+    )
+    c1 = c0.groupBy("av", "al", "ark", "crk").agg(F.min("i").alias("i"))
+    j = (
+        c1.join(
+            r.select(F.col("rk").alias("crk"), F.col("vec_id").alias("nv"), F.col("label").alias("nl")),
+            "crk",
+        )
+        .filter((F.col("nl") != F.col("al")) & (F.col("crk") != F.col("ark")))
+    )
+    wslot = Window.partitionBy("av").orderBy("i")
+    return (
+        j.withColumn("slot", F.row_number().over(wslot).cast("long"))
+        .filter(F.col("slot") <= _NS_K)
+        .select(
+            F.col("av").alias("anchor_id"),
+            F.col("al").cast("long").alias("anchor_label"),
+            F.col("nv").alias("negative_id"),
+            F.col("nl").cast("long").alias("negative_label"),
+            "slot",
         )
     )
