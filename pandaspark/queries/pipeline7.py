@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, spread, sql_sha_int
+from . import load, register, round4, spread, sql_round4, sql_sha_int
 from .text import _norm_text
 
 # --- q127: BPE pair-merge learning ------------------------------------------
@@ -378,3 +378,98 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slot",
         )
     )
+
+
+# --- q130: curriculum training manifest --------------------------------------
+#
+# Curriculum learning's data artifact: an epoch-ordered manifest where easy
+# documents (high corpus-LM bigram coverage, q114's exact novelty score)
+# come first, hardness is bucketed into difficulty bins, and order WITHIN a
+# bin is a deterministic hash shuffle (reproducible epochs, no RNG state).
+# Composes three engine capabilities end-to-end: LM scoring (q114), exact
+# integer binning over a two-phase global ranking (q88's no-global-window
+# machinery), and keyed-hash shuffling (q67/q78's idiom). Both global
+# orderings run through operators.sequential_ids — range-partitioned,
+# layout-pinned, no single-partition window over the corpus.
+
+_CUR_BINS = 4
+
+_Q130_ORACLE = f"""
+WITH sc AS ({{q114}}),
+r AS (
+  SELECT doc_id, lang,
+         CAST(n_known AS DOUBLE) / n_bigrams AS cov,
+         row_number() OVER (
+           ORDER BY CAST(n_known AS DOUBLE) / n_bigrams DESC, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM sc
+),
+b AS (
+  SELECT doc_id, lang, cov,
+         CAST((rk - 1) * {_CUR_BINS} // n + 1 AS BIGINT) AS difficulty_bin,
+         {sql_sha_int("concat('cur|', CAST(doc_id AS VARCHAR))")} AS h
+  FROM r
+)
+SELECT doc_id, lang,
+       {sql_round4('cov')} AS coverage,
+       difficulty_bin,
+       CAST(row_number() OVER (ORDER BY difficulty_bin, h, doc_id) AS BIGINT)
+         AS epoch_pos
+FROM b
+"""
+
+
+@register(
+    "q130_curriculum",
+    None,  # oracle bound below (needs q114's SQL inlined)
+    "curriculum manifest: LM-difficulty bins + deterministic epoch order",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandaspark.operators import sequential_ids
+
+    from . import sha_int
+    from .pipeline4 import q114
+
+    sc = q114(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("n_known").cast("double") / F.col("n_bigrams")).alias("cov"),
+    )
+    # easy-first global rank (coverage desc) through the two-phase ranking;
+    # the ranked frame feeds the bin computation AND the total count
+    r = sequential_ids(
+        sc.withColumn("negcov", -F.col("cov")), ["negcov", "doc_id"], alias="rk"
+    ).localCheckpoint(eager=False)
+    n = r.agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            "cov",
+            (F.floor((F.col("rk") - 1) * _CUR_BINS / F.col("n")) + 1)
+            .cast("long")
+            .alias("difficulty_bin"),
+            sha_int(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))).alias("h"),
+        )
+    )
+    out = sequential_ids(b, ["difficulty_bin", "h", "doc_id"], alias="epoch_pos")
+    return out.select(
+        "doc_id",
+        "lang",
+        round4(F.col("cov")).alias("coverage"),
+        "difficulty_bin",
+        F.col("epoch_pos").cast("long").alias("epoch_pos"),
+    )
+
+
+# bind the oracle now that the template references q114's SQL
+from .pipeline4 import _Q114_ORACLE as _q114_sql  # noqa: E402
+
+from . import REGISTRY, QuerySpec  # noqa: E402
+
+REGISTRY["q130_curriculum"] = QuerySpec(
+    fn=REGISTRY["q130_curriculum"].fn,
+    oracle=_Q130_ORACLE.replace("{q114}", _q114_sql),
+    doc=REGISTRY["q130_curriculum"].doc,
+)
