@@ -148,10 +148,11 @@ def main() -> None:
             f,
             indent=1,
         )
-    # per-query timings under SHORT keys (q01...) at 2dp keep the line
-    # parseable within the driver's bounded capture; full names and 3dp
+    # per-query timings under SHORT keys (q01...) at 1dp keep the line
+    # parseable within the driver's bounded capture at 131+ queries
+    # (2dp crossed the 1900-char assert at 131); full names and 3dp
     # live in the detail file
-    short = {n.split("_", 1)[0]: round(v, 2) for n, v in sorted(timings.items())}
+    short = {n.split("_", 1)[0]: round(v, 1) for n, v in sorted(timings.items())}
     line = json.dumps({**summary, "queries": short})
     assert len(line) < 1900, f"bench summary line too long ({len(line)} chars)"
     print(line)

@@ -473,3 +473,83 @@ REGISTRY["q130_curriculum"] = QuerySpec(
     oracle=_Q130_ORACLE.replace("{q114}", _q114_sql),
     doc=REGISTRY["q130_curriculum"].doc,
 )
+
+
+# --- q131: hybrid retrieval via reciprocal-rank fusion -----------------------
+#
+# The hybrid-search step every RAG/retrieval stack runs: fuse a lexical
+# ranking (q103's BM25 top-20) with a semantic ranking (q40's cosine
+# top-k for query vector 0) by reciprocal-rank fusion
+# (Cormack/Clarke/Buettcher 2009): score = sum over lists of 1/(60+rank),
+# absent = 0. RRF needs no score calibration between the two systems —
+# only ranks — which is what makes it the default fusion everywhere.
+# Both input rankings are list-sized (bounded by their top-k), so every
+# stage below the two retrievals is driver-trivial at any corpus scale;
+# the heavy lifting stays inside q103's one-pass scan and q40's
+# broadcast-join, both already scale-shaped.
+
+_RRF_K = 60
+
+_Q131_ORACLE_TMPL = f"""
+WITH bm AS ({{q103}}),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb FROM bm
+),
+cos AS (SELECT vec_id AS doc_id, rk AS rc FROM ({{q40}}) WHERE qid = 0),
+f AS (
+  SELECT coalesce(bmr.doc_id, cos.doc_id) AS doc_id, rb, rc,
+         coalesce(1.0 / ({_RRF_K} + rb), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + rc), 0.0) AS s
+  FROM bmr FULL JOIN cos ON bmr.doc_id = cos.doc_id
+)
+SELECT doc_id, CAST(rb AS BIGINT) AS bm25_rank, CAST(rc AS BIGINT) AS cosine_rank,
+       {sql_round4('s')} AS rrf
+FROM f ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register(
+    "q131_hybrid_rrf",
+    None,  # oracle bound below (inlines q103's and q40's SQL)
+    "hybrid search: reciprocal-rank fusion of BM25 and cosine rankings",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline3 import q103
+    from .similarity import q40
+
+    bm = q103(spark, sf_dir)
+    # 20-row frame (GlobalLimit upstream) — the partition-less window is
+    # bounded by construction, which the registry plan gate verifies
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rb"))
+    cos = (
+        q40(spark, sf_dir)
+        .filter(F.col("qid") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rk").alias("rc"))
+    )
+    zero = F.lit(0.0)
+    s = F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), zero) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rc")), zero
+    )
+    return (
+        bmr.join(cos, "doc_id", "full")
+        .select("doc_id", "rb", "rc", s.alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("rb").cast("long").alias("bm25_rank"),
+            F.col("rc").cast("long").alias("cosine_rank"),
+            round4(F.col("_s")).alias("rrf"),
+        )
+    )
+
+
+from .pipeline3 import _Q103_ORACLE as _q103_sql  # noqa: E402
+from .similarity import _Q40_ORACLE as _q40_sql  # noqa: E402
+
+REGISTRY["q131_hybrid_rrf"] = QuerySpec(
+    fn=REGISTRY["q131_hybrid_rrf"].fn,
+    oracle=_Q131_ORACLE_TMPL.replace("{q103}", _q103_sql).replace("{q40}", _q40_sql),
+    doc=REGISTRY["q131_hybrid_rrf"].doc,
+)
