@@ -553,3 +553,122 @@ REGISTRY["q131_hybrid_rrf"] = QuerySpec(
     oracle=_Q131_ORACLE_TMPL.replace("{q103}", _q103_sql).replace("{q40}", _q40_sql),
     doc=REGISTRY["q131_hybrid_rrf"].doc,
 )
+
+
+# --- q132: session co-occurrence lift mining ---------------------------------
+#
+# The association-mining staple behind "users who did A also did B":
+# sessionize the event stream (30-minute inactivity gaps, gaps-and-islands
+# per user), collect each session's DISTINCT event types, count pair
+# co-occurrence across sessions, and rank pairs by LIFT
+# = P(ab) / (P(a) P(b)) = c_ab * n_sessions / (c_a * c_b). Lift is kept
+# as one exact-integer product ratio (all terms < 2^53, one IEEE divide)
+# instead of log-PMI — log() diverges across libm implementations, a
+# ratio never does. Per-user windows; pair join keyed by (user, session),
+# fanout bounded by the per-session distinct-type count.
+
+_SC_GAP_MIN = 30
+_SC_MIN_SUPPORT = 5
+_SC_TOPK = 20
+
+_Q132_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type IS NOT NULL
+),
+g AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_SC_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM ev
+),
+s AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+n AS (SELECT count(DISTINCT (user_id, sid)) AS n_sessions FROM st),
+ca AS (SELECT event_type, count(*) AS c FROM st GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(x.c AS BIGINT) AS c_a, CAST(y.c AS BIGINT) AS c_b,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       {sql_round4("CAST(c_ab * n_sessions AS DOUBLE) / (x.c * y.c)")} AS lift
+FROM pairs JOIN ca x ON x.event_type = type_a
+           JOIN ca y ON y.event_type = type_b, n
+WHERE c_ab >= {_SC_MIN_SUPPORT}
+ORDER BY CAST(c_ab * n_sessions AS DOUBLE) / (x.c * y.c) DESC, type_a, type_b
+LIMIT {_SC_TOPK}
+"""
+
+
+@register(
+    "q132_session_cooccurrence",
+    _Q132_ORACLE,
+    "sessionized co-occurrence pairs ranked by exact-integer lift",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    brk = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > _SC_GAP_MIN * 60)
+    ).cast("long")
+    s = ev.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    st = s.select("user_id", "sid", "event_type").distinct().localCheckpoint(eager=False)
+    n = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    ca = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _SC_MIN_SUPPORT)
+    )
+    lift = (F.col("c_ab") * F.col("n_sessions")).cast("double") / (
+        F.col("c_a") * F.col("c_b")
+    )
+    return (
+        pairs.join(
+            F.broadcast(ca.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(ca.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("type_a", "type_b", "c_ab", "c_a", "c_b", "n_sessions", lift.alias("_l"))
+        .orderBy(F.col("_l").desc(), "type_a", "type_b")
+        .limit(_SC_TOPK)
+        .select(
+            "type_a", "type_b", "c_ab", "c_a", "c_b", "n_sessions",
+            round4(F.col("_l")).alias("lift"),
+        )
+    )
