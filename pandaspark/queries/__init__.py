@@ -208,7 +208,7 @@ from . import pipeline7  # noqa: E402,F401
 # q35-q73's tranche).
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
-    "q132_session_cooccurrence", "q131_hybrid_rrf", "q130_curriculum", "q129_negative_sampling", "q128_pit_join", "q127_bpe_merges",
+    "q133_greedy_coverage", "q132_session_cooccurrence", "q131_hybrid_rrf", "q130_curriculum", "q129_negative_sampling", "q128_pit_join", "q127_bpe_merges",
     "q126_minhash_accuracy",
     "q120_line_dedup", "q121_simhash_hamming", "q122_source_health",
     "q123_ngram_coverage", "q124_bag_dedup", "q125_priority_sample",

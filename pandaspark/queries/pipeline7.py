@@ -672,3 +672,120 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("_l")).alias("lift"),
         )
     )
+
+
+# --- q133: greedy max-coverage data selection (submodular curation) ----------
+#
+# The data-curation selection step (facility-location / max-coverage
+# greedy, the standard submodular recipe): repeatedly pick the document
+# whose 3-gram set covers the most NOT-YET-COVERED grams. Greedy gives the
+# classic (1 - 1/e) coverage guarantee; three unrolled rounds are
+# materialized (the loop body is what matters — more rounds = the same
+# plan repeated). Each round is: anti-join the gram table against the
+# covered set (shuffles keyed on the gram), one hash aggregate for gains,
+# a 1-row TakeOrdered pick broadcast into the next round. No driver
+# collect, no per-round growth in plan input — covered sets are
+# gram-table-bounded.
+
+_GC_STEPS = 3
+
+_Q133_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(w[i+1:i+3], ' ')
+                 FOR i IN range(greatest(len(w) - 2, 1))]) AS tok
+  FROM n
+),
+s1 AS (SELECT doc_id, count(*) AS gain FROM g GROUP BY doc_id
+       ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT tok FROM g WHERE doc_id IN (SELECT doc_id FROM s1)),
+s2 AS (SELECT doc_id, count(*) AS gain FROM g
+       WHERE tok NOT IN (SELECT tok FROM c1)
+         AND doc_id NOT IN (SELECT doc_id FROM s1)
+       GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+c2 AS (SELECT DISTINCT tok FROM g
+       WHERE doc_id IN (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2)),
+s3 AS (SELECT doc_id, count(*) AS gain FROM g
+       WHERE tok NOT IN (SELECT tok FROM c2)
+         AND doc_id NOT IN (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2)
+       GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+c3 AS (SELECT DISTINCT tok FROM g
+       WHERE doc_id IN (SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2
+                        UNION SELECT doc_id FROM s3))
+SELECT CAST(1 AS BIGINT) AS step, doc_id, CAST(gain AS BIGINT) AS gain,
+       CAST((SELECT count(*) FROM c1) AS BIGINT) AS covered_total FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, CAST(gain AS BIGINT),
+       CAST((SELECT count(*) FROM c2) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), doc_id, CAST(gain AS BIGINT),
+       CAST((SELECT count(*) FROM c3) AS BIGINT) FROM s3
+"""
+
+
+@register(
+    "q133_greedy_coverage",
+    _Q133_ORACLE,
+    "greedy max-coverage selection: 3 rounds of anti-join + gain argmax",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.col("w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(1)) - 1),
+            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+        )
+    )
+    # every round reads the same (doc, gram) table: pin one materialization
+    g = (
+        spread(d.select("doc_id", F.split(_norm_text(), " ").alias("w")))
+        .select("doc_id", F.explode_outer(grams).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def pick(cand: DataFrame, step: int) -> DataFrame:
+        return (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .select(F.lit(step).cast("long").alias("step"), "doc_id", "gain")
+        )
+
+    def covered(sel: DataFrame) -> DataFrame:
+        return (
+            g.join(sel.select("doc_id"), "doc_id", "left_semi")
+            .select("tok")
+            .distinct()
+        )
+
+    s1 = pick(g, 1).localCheckpoint(eager=False)
+    c1 = covered(s1).localCheckpoint(eager=False)
+    g2 = g.join(c1, "tok", "left_anti").join(s1.select("doc_id"), "doc_id", "left_anti")
+    s2 = pick(g2, 2).localCheckpoint(eager=False)
+    sel12 = s1.unionByName(s2)
+    c2 = covered(sel12).localCheckpoint(eager=False)
+    g3 = g.join(c2, "tok", "left_anti").join(
+        sel12.select("doc_id"), "doc_id", "left_anti"
+    )
+    s3 = pick(g3, 3).localCheckpoint(eager=False)
+    c3 = covered(s1.unionByName(s2).unionByName(s3))
+
+    def with_cov(s: DataFrame, c: DataFrame) -> DataFrame:
+        return s.crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("covered_total")))
+        )
+
+    return (
+        with_cov(s1, c1)
+        .unionByName(with_cov(s2, c2))
+        .unionByName(with_cov(s3, c3))
+        .select("step", "doc_id", "gain", "covered_total")
+    )
