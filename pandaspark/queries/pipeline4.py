@@ -43,28 +43,28 @@ _ITERS = 3
 
 
 _Q112_ORACLE = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
                   CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT c AS src, s AS dst FROM pairs
   UNION ALL
   SELECT s AS src, c AS dst FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS n FROM deg
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT src AS node, {_SCALE} // n AS pr FROM deg, nn
-), r1 AS (
+), r1 AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST(({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) // ({_DAMP_DEN} * any_value(nn.n))
               + ({_DAMP_NUM} * sum(r.pr // d.outdeg)) // {_DAMP_DEN} AS BIGINT) AS pr
   FROM edges e JOIN r0 r ON r.node = e.src
   JOIN deg d ON d.src = e.src CROSS JOIN nn
   GROUP BY e.dst
-), r2 AS (
+), r2 AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST(({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) // ({_DAMP_DEN} * any_value(nn.n))
               + ({_DAMP_NUM} * sum(r.pr // d.outdeg)) // {_DAMP_DEN} AS BIGINT) AS pr
