@@ -148,12 +148,13 @@ def main() -> None:
             f,
             indent=1,
         )
-    # per-query timings under SHORT keys (q01...) at 1dp keep the line
-    # parseable within the driver's bounded capture at 131+ queries
-    # (2dp crossed the 1900-char assert at 131); full names and 3dp
+    # per-query timings under SHORT keys (q01...) at 1dp and COMPACT JSON
+    # separators keep the line parseable within the driver's bounded capture
+    # at 136+ queries (2dp crossed the 1900-char assert at 131; default
+    # ', '/': ' separators would cross it around 135); full names and 3dp
     # live in the detail file
     short = {n.split("_", 1)[0]: round(v, 1) for n, v in sorted(timings.items())}
-    line = json.dumps({**summary, "queries": short})
+    line = json.dumps({**summary, "queries": short}, separators=(",", ":"))
     assert len(line) < 1900, f"bench summary line too long ({len(line)} chars)"
     print(line)
     spark.stop()
