@@ -236,6 +236,94 @@ def write_store(df: DataFrame, path: str, partition_by_year: bool = True) -> Non
     commit_snapshot(out, path, partition_by=["book_year"] if partition_by_year else None)
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    *,
+    matched_update: dict[str, str] | None = None,
+    matched_delete: str | None = None,
+    not_matched_insert: dict[str, str] | bool = True,
+    not_matched_by_source_delete: str | None = None,
+) -> DataFrame:
+    """General multi-clause MERGE on plain DataFrames (Delta/Iceberg
+    `MERGE INTO` semantics, reference seam: panda.py:713-728's ON CONFLICT
+    generalized):
+
+      MERGE INTO target t USING source s ON <keys equal>
+        WHEN MATCHED AND <matched_delete>            THEN DELETE
+        WHEN MATCHED                                 THEN UPDATE SET <matched_update>
+        WHEN NOT MATCHED [BY TARGET]                 THEN INSERT <not_matched_insert>
+        WHEN NOT MATCHED BY SOURCE AND <..._delete>  THEN DELETE
+
+    Expressions are SQL strings over the aliases `t` (target) and `s`
+    (source) — e.g. ``{"qty": "t.qty + s.qty"}``. `not_matched_insert`
+    may be True (insert source values for same-named columns, NULL
+    elsewhere), False (drop unmatched source rows), or an explicit
+    column->expression map over `s`.
+
+    Like Delta, a target row must match at most ONE source row, or the
+    update is ambiguous — callers dedupe the source on the key first
+    (`latest_per_key` is the standard pre-step). The result is the merged
+    target relation, lazily; durability comes from committing it through
+    `commit_snapshot` (same protocol as `upsert_to_path`).
+
+    Plan shape at 100 TB: ONE full-outer equi-join shuffle on the merge
+    keys carries all four clauses; every clause is a projection/filter on
+    that join (no second pass over either side), and AQE broadcasts the
+    source leg when it is dim-sized.
+    """
+    for k in on:
+        if k not in target.columns or k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from target or source")
+    out_cols = target.columns
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in on:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    t_only = F.col("_t_present").isNotNull() & F.col("_s_present").isNull()
+    s_only = F.col("_t_present").isNull() & F.col("_s_present").isNotNull()
+
+    upd = {c: F.expr(e) for c, e in (matched_update or {}).items()}
+    # a NULL delete-condition means "don't delete" (SQL three-valued logic:
+    # the WHEN clause doesn't fire), so coalesce before negating
+    _no = lambda e: ~F.coalesce(F.expr(e or "false"), F.lit(False))  # noqa: E731
+    if not_matched_insert is True:
+        ins_exprs = {c: f"s.{c}" for c in out_cols if c in source.columns}
+    elif not_matched_insert is False:
+        ins_exprs = None
+    else:
+        ins_exprs = dict(not_matched_insert)
+
+    # the three row classes of a full-outer join are disjoint, so ONE
+    # filter + ONE 3-way CASE projection realizes every clause without
+    # re-executing the join (union-of-filters would run it twice)
+    keep = (matched & _no(matched_delete)) | (t_only & _no(not_matched_by_source_delete))
+    if ins_exprs is not None:
+        keep = keep | s_only
+    ttypes = dict(target.dtypes)
+
+    def _out(c: str) -> F.Column:
+        ins = (
+            F.expr(ins_exprs[c])
+            if ins_exprs is not None and c in ins_exprs
+            else F.lit(None).cast(ttypes[c])
+        )
+        return (
+            F.when(matched, upd.get(c, F.col(f"t.{c}")))
+            .when(t_only, F.col(f"t.{c}"))
+            .otherwise(ins)
+            .cast(ttypes[c])  # result keeps the TARGET's column types
+            .alias(c)
+        )
+
+    return j.filter(keep).select(*[_out(c) for c in out_cols])
+
+
 def upsert_to_path(
     spark: SparkSession,
     root: str,
