@@ -290,8 +290,16 @@ SELECT col_name, n_nonnull, n_distinct, min_val, max_val FROM (
     "ANALYZE-style stats: nulls, exact NDV, min/max per column in one scan",
 )
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_returnflag", F.col("l_shipdate").cast("date").alias("l_shipdate")
+    # spread: the multi-distinct Expand multiplies every input row by the
+    # number of distinct aggregates — single-partition input would run that
+    # 4x fan-out on one core (fixture parquet is one row group)
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        )
     )
     stats = li.agg(
         F.count("l_orderkey").alias("nn_ok"),
@@ -321,4 +329,99 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'l_shipdate',   nn_sd, nd_sd, mn_sd, mx_sd)"
             " AS (col_name, n_nonnull, n_distinct, min_val, max_val)"
         )
+    )
+
+
+# --- q137: CDC merge-sync through the multi-clause MERGE operator ------------
+#
+# The incremental-sync step of every CDC pipeline, driven through
+# store.merge_into (the engine's Delta-style MERGE INTO): the target is the
+# per-user "profile store" as of T0 (latest event per user before the
+# cutoff), the source is the next batch window's latest-per-user, and the
+# merge applies all four clause kinds at once:
+#   MATCHED  + batch row is an 'error'  -> DELETE  (tombstone)
+#   MATCHED                             -> UPDATE  (take batch, bump version)
+#   NOT MATCHED                         -> INSERT  (new user, version 1)
+#   NOT MATCHED BY SOURCE + stale error -> DELETE  (purge)
+# Everything rides merge_into's single full-outer shuffle on user_id; the
+# two latest-per-key reductions are per-user windows (bounded partitions).
+
+_MS_T0 = "2024-01-20 00:00:00"
+
+_Q137_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS val_cents,
+         CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+tgt AS (
+  SELECT user_id, event_type, val_cents, ts, CAST(1 AS BIGINT) AS version
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE ts < TIMESTAMP '{_MS_T0}')
+  WHERE rn = 1
+),
+src AS (
+  SELECT user_id, event_type, val_cents, ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE ts >= TIMESTAMP '{_MS_T0}')
+  WHERE rn = 1
+)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+       CASE WHEN s.user_id IS NOT NULL THEN s.val_cents ELSE t.val_cents END AS val_cents,
+       CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END AS ts,
+       CASE WHEN t.user_id IS NULL THEN CAST(1 AS BIGINT)
+            WHEN s.user_id IS NOT NULL THEN t.version + 1
+            ELSE t.version END AS version
+FROM tgt t FULL JOIN src s ON t.user_id = s.user_id
+WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+           AND s.event_type = 'error')               -- matched tombstone
+  AND NOT (s.user_id IS NULL AND t.event_type = 'error')  -- stale purge
+"""
+
+
+@register(
+    "q137_merge_sync",
+    _Q137_ORACLE,
+    "CDC sync via multi-clause MERGE: update/insert/tombstone/purge in one join",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pandaspark.store import merge_into
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "val_cents", "ts")
+        )
+
+    t0 = F.lit(_MS_T0).cast("timestamp")
+    tgt = latest(ev.filter(F.col("ts") < t0)).withColumn(
+        "version", F.lit(1).cast("long")
+    )
+    src = latest(ev.filter(F.col("ts") >= t0))
+    return merge_into(
+        tgt,
+        src,
+        ["user_id"],
+        matched_update={
+            "event_type": "s.event_type",
+            "val_cents": "s.val_cents",
+            "ts": "s.ts",
+            "version": "t.version + 1",
+        },
+        matched_delete="s.event_type = 'error'",
+        not_matched_by_source_delete="t.event_type = 'error'",
     )
