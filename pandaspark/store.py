@@ -462,9 +462,23 @@ def diff_snapshots(
             raise FileNotFoundError(f"no committed snapshot v{v} under {root}")
     a = spark.read.parquet(f"{root}/v{v_from:0{_VERSION_WIDTH}d}")
     b = spark.read.parquet(f"{root}/v{v_to:0{_VERSION_WIDTH}d}")
-    cols = compare_cols or [c for c in b.columns if c != key]
-    a_s = a.select(F.col(key), F.struct(*cols).alias("_a"))
-    b_s = b.select(F.col(key), F.struct(*cols).alias("_b"))
+    # schema evolution between versions: compare over the UNION of columns
+    # (newer side's order first, departed columns appended), reading a
+    # version that lacks a column as typed NULL — so an added column shows
+    # up as "changed" exactly where the new snapshot populated it, and a
+    # dropped column as "changed" where the old one had values
+    cols = compare_cols or (
+        [c for c in b.columns if c != key]
+        + [c for c in a.columns if c != key and c not in b.columns]
+    )
+    types = {**dict(a.dtypes), **dict(b.dtypes)}
+
+    def _align(df: DataFrame) -> DataFrame:
+        missing = [c for c in cols if c not in df.columns]
+        return df.withColumns({c: F.lit(None).cast(types[c]) for c in missing})
+
+    a_s = _align(a).select(F.col(key), F.struct(*cols).alias("_a"))
+    b_s = _align(b).select(F.col(key), F.struct(*cols).alias("_b"))
     j = a_s.join(b_s, key, "full_outer")
     change = (
         F.when(F.col("_a").isNull(), F.lit("added"))

@@ -468,3 +468,39 @@ def test_incremental_stats_maintenance_via_snapshot_diff(spark, tmp_path):
     m = {r.lang: r.n for r in maintained.collect()}
     f = {r.lang: r.n for r in fresh.collect()}
     assert m == f and "xx" in f
+
+
+def test_diff_snapshots_across_schema_evolution(spark, tmp_path):
+    """Snapshot CDC when a column was ADDED between versions (and one
+    dropped): the diff compares over the union of columns, reading the
+    version that lacks a column as typed NULL — added columns surface as
+    'changed' exactly where the new snapshot populated them, and the diff
+    never errors on the asymmetric schemas."""
+    from pandaspark.store import commit_snapshot, diff_snapshots
+
+    root = str(tmp_path / "evostore")
+    v1 = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")],
+        "fingerprint string, val int, legacy string",
+    )
+    commit_snapshot(v1, root)
+    # v2 adds `score`, drops `legacy`, changes nothing else on a/b; c gone
+    v2 = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, None), ("d", 4, 40)],
+        "fingerprint string, val int, score int",
+    )
+    commit_snapshot(v2, root)
+    got = {
+        r.fingerprint: r.change_type
+        for r in diff_snapshots(spark, root, 1, 2).collect()
+    }
+    # a: score NULL->10 AND legacy x->NULL => changed
+    # b: score stays NULL, but legacy y->NULL => changed
+    # c: removed; d: added
+    assert got == {"a": "changed", "b": "changed", "c": "removed", "d": "added"}
+    # scoped to the surviving common column, a and b are unchanged
+    got_val = {
+        r.fingerprint: r.change_type
+        for r in diff_snapshots(spark, root, 1, 2, compare_cols=["val"]).collect()
+    }
+    assert got_val == {"c": "removed", "d": "added"}
