@@ -69,3 +69,79 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median"),
         F.max("tw").alias("total_weight"),
     ).select(F.col("grp").alias("l_returnflag"), "weighted_median", "total_weight")
+
+
+# --- q141: exact Gini concentration per group --------------------------------
+#
+# The concentration/inequality statistic dataset cards report per source
+# or language ("how skewed is document length?"). Naive Gini is an
+# all-pairs |xi - xj| sum; the exact closed form over SORTED values,
+#   G = (2 * sum_i i*x_(i) - (n + 1) * sum_x) / (n * sum_x),
+# is evaluated here from the (group, value) HISTOGRAM, never from
+# per-row ranks: a run of c equal values v starting after cumulative
+# count s contributes v * (c*s + c*(c+1)/2) to sum_i i*x_(i). One
+# map-side-combinable histogram aggregate (shuffle keyed on group AND
+# value — hot groups spread), one cumulative window over the NDV-sized
+# histogram, exact integers until the single final division.
+
+_Q141_ORACLE = """
+WITH h AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY lang, CAST(n_chars AS BIGINT)
+),
+cum AS (
+  SELECT lang, v, c,
+         coalesce(sum(c) OVER (PARTITION BY lang ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS s
+  FROM h
+),
+g AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS sx,
+         CAST(sum(v * (c * s + c * (c + 1) // 2)) AS BIGINT) AS s1
+  FROM cum GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+       floor((CAST(2 * s1 - (n + 1) * sx AS DOUBLE) / (n * sx)) * 10000 + 0.5)
+         / 10000.0 AS gini
+FROM g
+"""
+
+
+@register(
+    "q141_gini_concentration",
+    _Q141_ORACLE,
+    "exact per-group Gini from the value histogram — no all-pairs, no per-row ranks",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    h = d.groupBy("lang", F.col("n_chars").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wl = Window.partitionBy("lang").orderBy("v")
+    cum = h.withColumn(
+        "s",
+        F.coalesce(
+            F.sum("c").over(wl.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    g = cum.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("sx"),
+        F.sum(
+            F.col("v")
+            * (F.col("c") * F.col("s") + F.expr("c * (c + 1) div 2"))
+        ).alias("s1"),
+    )
+    gini = (
+        (F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx"))
+    )
+    return g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (F.floor(gini * 10000 + F.lit(0.5)) / 10000.0).alias("gini"),
+    )
