@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, spread
 
 _Q140_ORACLE = """
 WITH h AS (
@@ -144,4 +144,80 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n").alias("n_docs"),
         (F.floor(gini * 10000 + F.lit(0.5)) / 10000.0).alias("gini"),
+    )
+
+
+# --- q142: mutual nearest neighbors within label blocks ----------------------
+#
+# The reciprocal-best-match primitive behind bitext mining and alignment
+# curation (Artetxe & Schwenk 2019's margin mining is a scored variant):
+# keep pair (a, b) only when b is a's top-1 cosine neighbor AND a is b's —
+# reciprocity is the cheap filter that removes hub vectors which are
+# "nearest" to everything. All-pairs runs INSIDE label blocks only (the
+# SemDeDup/q115 blocking pattern: at 100 TB the block is a cluster
+# assignment, bounding each task to block_size^2 work); ranking uses the
+# ROUNDED cosine with a vec_id tie-break so both engines rank identically.
+
+_Q142_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (
+  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+         floor(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               * 10000 + 0.5) / 10000.0 AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+best AS (
+  SELECT label, src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM c
+  QUALIFY rk = 1
+)
+SELECT x.label AS label, x.src AS vec_a, x.dst AS vec_b, x.cosine AS cosine
+FROM best x JOIN best y ON y.src = x.dst AND y.dst = x.src
+WHERE x.src < x.dst
+"""
+
+
+@register(
+    "q142_mutual_nn",
+    _Q142_ORACLE,
+    "reciprocal top-1 cosine pairs within label blocks (bitext-mining filter)",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import round4
+    from .similarity import _dot, _norm
+
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("src"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+    )
+    c = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") != F.col("dst")))
+        .select(
+            "label",
+            "src",
+            "dst",
+            round4(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        )
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    best = (
+        c.withColumn("rk", F.row_number().over(wsrc))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .localCheckpoint(eager=False)  # joined against itself for reciprocity
+    )
+    y = best.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        best.join(y, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select("label", F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "cosine")
     )
