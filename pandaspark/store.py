@@ -244,6 +244,7 @@ def merge_into(
     matched_update: dict[str, str] | None = None,
     matched_delete: str | None = None,
     not_matched_insert: dict[str, str] | bool = True,
+    not_matched_insert_condition: str | None = None,
     not_matched_by_source_delete: str | None = None,
 ) -> DataFrame:
     """General multi-clause MERGE on plain DataFrames (Delta/Iceberg
@@ -253,7 +254,8 @@ def merge_into(
       MERGE INTO target t USING source s ON <keys equal>
         WHEN MATCHED AND <matched_delete>            THEN DELETE
         WHEN MATCHED                                 THEN UPDATE SET <matched_update>
-        WHEN NOT MATCHED [BY TARGET]                 THEN INSERT <not_matched_insert>
+        WHEN NOT MATCHED [BY TARGET]
+          AND <not_matched_insert_condition>         THEN INSERT <not_matched_insert>
         WHEN NOT MATCHED BY SOURCE AND <..._delete>  THEN DELETE
 
     Expressions are SQL strings over the aliases `t` (target) and `s`
@@ -304,7 +306,10 @@ def merge_into(
     # re-executing the join (union-of-filters would run it twice)
     keep = (matched & _no(matched_delete)) | (t_only & _no(not_matched_by_source_delete))
     if ins_exprs is not None:
-        keep = keep | s_only
+        ins_ok = F.coalesce(
+            F.expr(not_matched_insert_condition or "true"), F.lit(False)
+        )
+        keep = keep | (s_only & ins_ok)
     ttypes = dict(target.dtypes)
 
     def _out(c: str) -> F.Column:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -351,3 +351,70 @@ def stream_dedup_corpus(
 
 def _strip(df: DataFrame) -> DataFrame:
     return df.drop("_h") if "_h" in df.columns else df
+
+
+def stream_cdc_apply(
+    change_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key: str,
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    compact_every: int | None = None,
+):
+    """Streaming CDC apply — the foreachBatch MERGE pattern Delta documents
+    for change feeds, on the engine's own snapshot store: each micro-batch
+    is a change feed carrying an op column ('upsert'/'delete'-style), is
+    reduced to the LATEST change per key within the batch (by (ts, op)
+    with a fixed tie order — deterministic under replay), and applied to
+    the current snapshot through store.merge_into:
+
+        MATCHED  + last op is delete  -> DELETE   (tombstone)
+        MATCHED                       -> UPDATE   (take batch values)
+        NOT MATCHED + non-delete      -> INSERT   (delete of absent key: no-op)
+
+    Exactly-once by composition: the reduction and merge are deterministic
+    functions of (snapshot, batch), so a replayed micro-batch recommits an
+    identical snapshot; a crash mid-write leaves the previous version
+    current (same protocol as stream_upsert_to_store). One full-outer
+    shuffle on the key per micro-batch; the store never rewrites more than
+    the merge output."""
+    from .store import merge_into
+
+    def _latest(batch: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts_col).desc(), F.col(op_col).desc()
+        )
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _apply(store: DataFrame, batch: DataFrame) -> DataFrame:
+        b = _latest(batch)
+        data_cols = [c for c in store.columns if c != key]
+        return merge_into(
+            store,
+            b,
+            [key],
+            matched_update={c: f"s.{c}" for c in data_cols if c in b.columns},
+            matched_delete=f"s.{op_col} = '{delete_op}'",
+            not_matched_insert={c: f"s.{c}" for c in store.columns},
+            not_matched_insert_condition=f"s.{op_col} <> '{delete_op}'",
+        )
+
+    def _first(batch: DataFrame) -> DataFrame:
+        b = _latest(batch)
+        keep = b.filter(F.col(op_col) != delete_op)
+        return keep.drop(op_col)
+
+    return stream_upsert_to_store(
+        change_stream,
+        store_path,
+        _apply,
+        checkpoint,
+        prepare_first=_first,
+        compact_every=compact_every,
+    )

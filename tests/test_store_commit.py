@@ -504,3 +504,64 @@ def test_diff_snapshots_across_schema_evolution(spark, tmp_path):
         for r in diff_snapshots(spark, root, 1, 2, compare_cols=["val"]).collect()
     }
     assert got_val == {"c": "removed", "d": "added"}
+
+
+def test_stream_cdc_apply_with_tombstones(spark, tmp_path):
+    """Streaming CDC apply: three change-feed micro-batches with upserts,
+    tombstone deletes (including delete-then-reinsert across batches, a
+    within-batch update+delete race resolved by latest-ts, and a delete of
+    a never-seen key), folded through foreachBatch MERGE. The expectation
+    is an independent Python fold of the change log."""
+    from pandaspark.streaming import stream_cdc_apply
+    from pandaspark.store import latest_commit_path
+
+    schema = "k bigint, val string, ts bigint, op string"
+    b1 = [(1, "a1", 10, "upsert"), (2, "b1", 11, "upsert"), (3, "c1", 12, "upsert")]
+    b2 = [
+        (2, "b2", 20, "upsert"),   # update
+        (3, None, 21, "delete"),   # tombstone
+        (4, "d1", 22, "upsert"),   # insert
+        (9, None, 23, "delete"),   # delete of absent key: no-op
+        (5, "e1", 24, "upsert"),   # within-batch: upserted then deleted...
+        (5, None, 25, "delete"),   # ...latest wins -> never lands
+    ]
+    b3 = [(3, "c2", 30, "upsert")]  # re-insert after tombstone
+    src = tmp_path / "cdc_src"
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/f*")
+    )
+    root = str(tmp_path / "cdc_store")
+    q = stream_cdc_apply(
+        stream, root, checkpoint=str(tmp_path / "ck_cdc"), key="k", ts_col="ts"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # independent fold of the change log
+    state: dict = {}
+    for b in (b1, b2, b3):
+        latest: dict = {}
+        for k, val, ts, op in b:
+            if k not in latest or ts > latest[k][1]:
+                latest[k] = (val, ts, op)
+        for k, (val, ts, op) in latest.items():
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = (val, ts)
+
+    got = {
+        r.k: (r.val, r.ts)
+        for r in spark.read.parquet(latest_commit_path(spark, root)).collect()
+    }
+    assert got == state == {1: ("a1", 10), 2: ("b2", 20), 4: ("d1", 22), 3: ("c2", 30)}
+    # the store schema carries no op column
+    assert "op" not in spark.read.parquet(latest_commit_path(spark, root)).columns
