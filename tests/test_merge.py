@@ -172,3 +172,21 @@ def test_merge_plan_is_one_join(spark, target, source):
         "ShuffledHashJoin"
     )
     assert joins == 1, plan
+
+
+def test_conditional_insert_clause(spark, target, source):
+    # WHEN NOT MATCHED AND <cond> THEN INSERT: k=4 (qty 40) passes the
+    # condition; with cond "s.qty < 0" nothing inserts; NULL cond -> no fire
+    out = store.merge_into(
+        target, source, ["k"], not_matched_insert_condition="s.qty > 10"
+    )
+    assert {r[0] for r in out.collect()} == {1, 2, 3, 4}
+    out2 = store.merge_into(
+        target, source, ["k"], not_matched_insert_condition="s.qty < 0"
+    )
+    assert {r[0] for r in out2.collect()} == {1, 2, 3}
+    s_null = spark.createDataFrame([(7, "x", None)], "k int, name string, qty int")
+    out3 = store.merge_into(
+        target, s_null, ["k"], not_matched_insert_condition="s.qty > 0"
+    )
+    assert {r[0] for r in out3.collect()} == {1, 2, 3}
