@@ -221,3 +221,122 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select("label", F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "cosine")
     )
+
+
+# --- q143: margin-scored alignment mining ------------------------------------
+#
+# Artetxe & Schwenk 2019's ratio-margin criterion, the scoring step LASER
+# bitext mining runs on top of the q142 reciprocal filter: a candidate
+# pair is strong when its cosine stands out against BOTH endpoints' local
+# neighborhoods,  margin(a,b) = cos(a,b) / ((avg_k(a) + avg_k(b)) / 2).
+# Determinism discipline: cosines are 4-dp-rounded BEFORE any use, and
+# each neighborhood average is formed from the INTEGER sum of those
+# rounded values (sum of k BIGINTs — order-free), so the margin is one
+# IEEE division of exactly-agreed operands. Same label-block bounding as
+# q142; the k-NN sums are one bounded-window aggregate per vector.
+
+_MM_K = 4
+
+_Q143_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+         CAST(floor(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               * 10000 + 0.5) AS BIGINT) AS c4
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT label, src, dst, c4,
+         row_number() OVER (PARTITION BY src ORDER BY c4 DESC, dst) AS rk
+  FROM c
+),
+knn AS (
+  SELECT src, CAST(sum(c4) AS BIGINT) AS sk, CAST(count(*) AS BIGINT) AS nk
+  FROM rk WHERE rk <= {_MM_K} GROUP BY src
+),
+best AS (SELECT label, src, dst, c4 FROM rk WHERE rk = 1),
+mutual AS (
+  SELECT x.label, x.src AS va, x.dst AS vb, x.c4
+  FROM best x JOIN best y ON y.src = x.dst AND y.dst = x.src
+  WHERE x.src < x.dst
+)
+SELECT m.label AS label, m.va AS vec_a, m.vb AS vec_b,
+       m.c4 / 10000.0 AS cosine,
+       floor((CAST(m.c4 AS DOUBLE) * (ka.nk + kb.nk))
+             / CAST(ka.sk + kb.sk AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS margin
+FROM mutual m
+JOIN knn ka ON ka.src = m.va
+JOIN knn kb ON kb.src = m.vb
+"""
+
+
+@register(
+    "q143_margin_mining",
+    _Q143_ORACLE,
+    "ratio-margin scores on reciprocal pairs (LASER bitext-mining criterion)",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _dot, _norm
+
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a = e.select("label", F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = e.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    c = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") != F.col("dst")))
+        .select(
+            "label",
+            "src",
+            "dst",
+            F.floor(cos * 10000 + F.lit(0.5)).cast("long").alias("c4"),
+        )
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.col("c4").desc(), "dst")
+    rk = c.withColumn("rk", F.row_number().over(wsrc)).localCheckpoint(eager=False)
+    knn = (
+        rk.filter(F.col("rk") <= _MM_K)
+        .groupBy("src")
+        .agg(F.sum("c4").alias("sk"), F.count(F.lit(1)).alias("nk"))
+    )
+    best = rk.filter(F.col("rk") == 1).select("label", "src", "dst", "c4")
+    y = best.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    mutual = (
+        best.join(y, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select("label", F.col("src").alias("va"), F.col("dst").alias("vb"), "c4")
+    )
+    # pooled-neighborhood ratio margin: cos(a,b) / ((sk_a+sk_b)/(nk_a+nk_b)
+    # rescaled) — numerator and denominator both in 4-dp integer units, so
+    # the scale cancels and ONE IEEE division produces the score
+    margin = (
+        F.col("c4").cast("double")
+        * (F.col("nk_a") + F.col("nk_b"))
+        / (F.col("sk_a") + F.col("sk_b")).cast("double")
+    )
+    return (
+        mutual.join(
+            knn.select(
+                F.col("src").alias("va"), F.col("sk").alias("sk_a"), F.col("nk").alias("nk_a")
+            ),
+            "va",
+        )
+        .join(
+            knn.select(
+                F.col("src").alias("vb"), F.col("sk").alias("sk_b"), F.col("nk").alias("nk_b")
+            ),
+            "vb",
+        )
+        .select(
+            "label",
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            (F.col("c4") / 10000.0).alias("cosine"),
+            (F.floor(margin * 10000 + F.lit(0.5)) / 10000.0).alias("margin"),
+        )
+    )
