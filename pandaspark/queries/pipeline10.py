@@ -340,3 +340,71 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(margin * 10000 + F.lit(0.5)) / 10000.0).alias("margin"),
         )
     )
+
+
+# --- q144: time-weighted average over irregular series ------------------------
+#
+# TWAP — the right way to average an irregularly-sampled series (sensor
+# states, account balances, feature values between updates): each
+# observation holds until the next one, so the mean is the step-function
+# integral  sum(v_i * dt_i) / sum(dt_i), NOT the row mean that implicitly
+# weights bursty periods more. Exact integers: cents x whole seconds per
+# segment (BIGINT), one final division. Per-user lead() windows carry the
+# segment lengths; users partition the work, and the last observation of
+# each user (no successor) contributes zero width on both engines.
+
+_Q144_ORACLE = """
+WITH s AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_cents,
+         CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE value IS NOT NULL
+),
+seg AS (
+  SELECT user_id, v_cents,
+         CAST(date_diff('second', ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS BIGINT) AS dt
+  FROM s
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(dt) AS BIGINT) AS span_seconds,
+       floor(CAST(sum(v_cents * dt) AS DOUBLE) / sum(dt) / 100.0 * 10000 + 0.5)
+         / 10000.0 AS twap
+FROM seg
+WHERE dt IS NOT NULL AND dt > 0
+GROUP BY user_id
+"""
+
+
+@register(
+    "q144_time_weighted_avg",
+    _Q144_ORACLE,
+    "TWAP: exact step-function integral over irregular per-user series",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = s.withColumn(
+        "dt",
+        (F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")),
+    )
+    twap = F.sum(F.col("v_cents") * F.col("dt")).cast("double") / F.sum("dt") / 100.0
+    return (
+        seg.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("dt").alias("span_seconds"),
+            (F.floor(twap * 10000 + F.lit(0.5)) / 10000.0).alias("twap"),
+        )
+    )
