@@ -408,3 +408,69 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(twap * 10000 + F.lit(0.5)) / 10000.0).alias("twap"),
         )
     )
+
+
+# --- q145: sequence pattern matching (MATCH_RECOGNIZE-lite) -------------------
+#
+# The row-pattern-recognition feature (SQL:2016 MATCH_RECOGNIZE, Flink
+# CEP) that neither Spark nor DuckDB ships: find how many times each user
+# runs the funnel  view -> click* -> purchase  as a CONTIGUOUS event
+# subsequence. Encoding: one char per event type (first letters are
+# distinct here), the per-user sequence built deterministically
+# (sort_array over (ts, event_id, char) structs — never a bare
+# collect_list order), then the pattern is a regex counted with standard
+# non-overlapping leftmost semantics, identical in Java regex and RE2 for
+# this pattern class. Per-user strings bound the state exactly like a
+# sessionized MATCH_RECOGNIZE partition; at 100 TB the partition key
+# (user/session) is what bounds each task's sequence.
+
+_SP_PATTERN = "vc*p"
+
+_Q145_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, substring(event_type, 1, 1) AS ch,
+         CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type IS NOT NULL
+),
+seq AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS sq
+  FROM s GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(sq) AS BIGINT) AS n_events,
+       CAST(length(regexp_replace(sq, 'e', '', 'g')) AS BIGINT) AS n_ok_events,
+       CAST(len(regexp_extract_all(sq, '{_SP_PATTERN}')) AS BIGINT) AS n_funnels
+FROM seq
+"""
+
+
+@register(
+    "q145_sequence_match",
+    _Q145_ORACLE,
+    "MATCH_RECOGNIZE-lite: regex funnels over deterministic per-user sequences",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias(
+                "o"
+            ),
+        )
+    )
+    seq = (
+        s.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("o")).alias("os"))
+        .select(
+            "user_id",
+            F.array_join(F.transform("os", lambda o: o["ch"]), "").alias("sq"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("sq").cast("long").alias("n_events"),
+        F.length(F.regexp_replace("sq", "e", "")).cast("long").alias("n_ok_events"),
+        F.regexp_count("sq", F.lit(_SP_PATTERN)).cast("long").alias("n_funnels"),
+    )
