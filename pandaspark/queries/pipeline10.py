@@ -474,3 +474,75 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("sq", "e", "")).cast("long").alias("n_ok_events"),
         F.regexp_count("sq", F.lit(_SP_PATTERN)).cast("long").alias("n_funnels"),
     )
+
+
+# --- q146: half-life decayed engagement score --------------------------------
+#
+# The recency-weighted aggregate behind every freshness-aware ranking and
+# user-engagement feature: each event contributes value * 2^(-age_days)
+# with a 1-day half-life. Exactness trick: the weights are POWERS OF TWO,
+# so the whole sum runs in scaled integers — v_cents * 2^(horizon - age)
+# is a BIGINT with zero rounding anywhere (never a float pow(), whose
+# libm results differ across engines); ONE division by 2^horizon at the
+# end produces the score. Ages clamp to the horizon so the scale bound
+# is static: |term| <= cents * 2^30.
+
+_HL_HORIZON_DAYS = 30
+_HL_ANCHOR = "2024-02-01 00:00:00"  # fixed as-of point (data spans Jan 2024)
+
+_Q146_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         least(CAST(date_diff('day', CAST(ts AS TIMESTAMP),
+                              TIMESTAMP '{_HL_ANCHOR}') AS BIGINT),
+               {_HL_HORIZON_DAYS}) AS age
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_cents * (CAST(1 AS BIGINT) << ({_HL_HORIZON_DAYS} - age)))
+         AS BIGINT) AS score_scaled,
+       floor(CAST(sum(v_cents * (CAST(1 AS BIGINT) << ({_HL_HORIZON_DAYS} - age)))
+                  AS DOUBLE)
+             / {float(2 ** _HL_HORIZON_DAYS)} / 100.0 * 10000 + 0.5) / 10000.0
+         AS decayed_score
+FROM s
+GROUP BY user_id
+"""
+
+
+@register(
+    "q146_decayed_engagement",
+    _Q146_ORACLE,
+    "half-life decayed scores as exact power-of-two integer sums",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    anchor = F.lit(_HL_ANCHOR).cast("timestamp")
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+            F.least(
+                F.datediff(anchor.cast("date"), F.col("ts").cast("date")).cast("long"),
+                F.lit(_HL_HORIZON_DAYS).cast("long"),
+            ).alias("age"),
+        )
+    )
+    term = F.col("v_cents") * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HL_HORIZON_DAYS} - age)")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(term).alias("score_scaled"),
+        (
+            F.floor(
+                F.sum(term).cast("double")
+                / F.lit(float(2 ** _HL_HORIZON_DAYS))
+                / 100.0
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("decayed_score"),
+    )
