@@ -546,3 +546,81 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("decayed_score"),
     )
+
+
+# --- q147: inverted index build ----------------------------------------------
+#
+# The retrieval-index construction step (what Lucene/ES segment building
+# does, relationally): term -> document frequency, collection frequency,
+# and a posting list of doc_ids. Scale discipline: the posting list is
+# CAPPED per term (rank window BEFORE any collect, so no task ever
+# materializes an unbounded list — a stopword's postings would otherwise
+# be corpus-sized), the kept term set is a deterministic top-100 by
+# (df desc, term), and lists serialize as JSON in canonical sorted order.
+
+_II_TOP_TERMS = 100
+_II_MAX_POSTINGS = 50
+
+_Q147_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE term <> '' GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(n) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+),
+top AS (SELECT * FROM stats ORDER BY df DESC, term LIMIT {_II_TOP_TERMS}),
+pl AS (
+  SELECT term, doc_id FROM (
+    SELECT tf.term, tf.doc_id,
+           row_number() OVER (PARTITION BY tf.term ORDER BY tf.doc_id) AS rn
+    FROM tf JOIN top USING (term))
+  WHERE rn <= {_II_MAX_POSTINGS}
+),
+postings AS (
+  SELECT term, to_json(array_agg(doc_id ORDER BY doc_id)) AS postings
+  FROM pl GROUP BY term
+)
+SELECT t.term AS term, t.df AS df, t.cf AS cf, p.postings AS postings
+FROM top t JOIN postings p USING (term)
+"""
+
+
+@register(
+    "q147_inverted_index",
+    _Q147_ORACLE,
+    "inverted index build: df/cf stats + capped, canonically-ordered postings",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _norm_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = (
+        spread(d.select("doc_id", F.split(_norm_text(), " ").alias("w")))
+        .select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False  # feeds stats AND the posting-list leg
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("n").alias("cf")
+    )
+    top = stats.orderBy(F.col("df").desc(), "term").limit(_II_TOP_TERMS)
+    wterm = Window.partitionBy("term").orderBy("doc_id")
+    pl = (
+        tf.join(F.broadcast(top.select("term")), "term", "left_semi")
+        .withColumn("rn", F.row_number().over(wterm))
+        .filter(F.col("rn") <= _II_MAX_POSTINGS)
+    )
+    postings = pl.groupBy("term").agg(
+        F.to_json(F.array_sort(F.collect_list("doc_id"))).alias("postings")
+    )
+    return top.join(postings, "term").select("term", "df", "cf", "postings")
