@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, spread
+from . import load, register, spread, sql_sha_int
 
 _Q140_ORACLE = """
 WITH h AS (
@@ -624,3 +624,90 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.array_sort(F.collect_list("doc_id"))).alias("postings")
     )
     return top.join(postings, "term").select("term", "df", "cf", "postings")
+
+
+# --- q148: A/B experiment read-out (two-proportion z) -------------------------
+#
+# The experiment-analysis staple: deterministically assign users to
+# arms (salted 48-bit hash, the engine's reproducible-sampling idiom),
+# measure conversion (a purchase above a fixed value threshold — selective
+# enough that neither arm's rate degenerates to 0 or 1), and report the
+# z-score. Numeric discipline: counts are exact BIGINTs; the z formula
+# uses only +,-,*,/ and sqrt — every one IEEE-correctly-rounded and
+# therefore bit-identical across engines (no libm log/exp anywhere) —
+# then one 4-dp rounding. The per-user reduction is a hash aggregate;
+# the final stats are a 2-row fold.
+
+_Q148_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         {sql_sha_int("concat('ab|', CAST(user_id AS VARCHAR))")} % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 0 THEN conv END) AS c0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM s
+)
+SELECT n0, c0, n1, c1,
+       floor((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) * 10000 + 0.5)
+         / 10000.0 AS lift,
+       floor((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1))
+             * 10000 + 0.5) / 10000.0 AS z_score
+FROM w
+"""
+
+
+@register(
+    "q148_ab_test",
+    _Q148_ORACLE,
+    "two-proportion z read-out over hash-assigned arms, IEEE-deterministic",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sha_int
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1)
+            .otherwise(0)
+        ).alias(
+            "converted"
+        )
+    ).select(
+        (sha_int(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2).alias(
+            "arm"
+        ),
+        "converted",
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        r4(p1 - p0).alias("lift"),
+        r4((p1 - p0) / se).alias("z_score"),
+    )
