@@ -711,3 +711,60 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(p1 - p0).alias("lift"),
         r4((p1 - p0) / se).alias("z_score"),
     )
+
+
+# --- q149: trailing-window distinct users (sliding DAU/WAU) -------------------
+#
+# Distinct-over-sliding-window is famously NON-decomposable: yesterday's
+# distinct count cannot be updated into today's, so RANGE-frame windows
+# don't apply (count_distinct is unsupported there) and engines fall back
+# to re-scanning per window. The scalable relational form: reduce to
+# DISTINCT (day, user) pairs first (the only cardinality that matters),
+# fan each pair out to the <=7 report days it contributes to (a bounded
+# explode — fan-out = window length, NOT data size), and hash-aggregate
+# a distinct count per report day. One shuffle keyed on (report_day,
+# user), map-side combinable; report days restricted to days present in
+# the data.
+
+_SW_DAYS = 7
+
+_Q149_ORACLE = f"""
+WITH p AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+  FROM events
+),
+d AS (SELECT DISTINCT day FROM p)
+SELECT d.day AS day,
+       CAST((SELECT count(*) FROM p WHERE p.day = d.day) AS BIGINT) AS dau,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau_trailing{_SW_DAYS}
+FROM d JOIN p ON p.day BETWEEN d.day - {_SW_DAYS - 1} AND d.day
+GROUP BY d.day
+"""
+
+
+@register(
+    "q149_sliding_distinct",
+    _Q149_ORACLE,
+    "trailing-7-day distinct users via bounded pair fan-out (non-decomposable op)",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds dau, the fan-out, and the day list
+    )
+    dau = p.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = p.select("day").distinct()
+    ex = p.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), _SW_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        ex.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias(f"wau_trailing{_SW_DAYS}"))
+    )
+    return dau.join(wau, "day")
