@@ -216,7 +216,7 @@ _VERIFY_FIRST = [
     "q140_weighted_median", "q141_gini_concentration", "q142_mutual_nn",
     "q143_margin_mining", "q144_time_weighted_avg", "q145_sequence_match",
     "q146_decayed_engagement", "q147_inverted_index", "q148_ab_test",
-    "q149_sliding_distinct",
+    "q149_sliding_distinct", "q150_chi2_terms",
     "q133_greedy_coverage", "q132_session_cooccurrence", "q131_hybrid_rrf", "q130_curriculum", "q129_negative_sampling", "q128_pit_join", "q127_bpe_merges",
     "q126_minhash_accuracy",
     "q120_line_dedup", "q121_simhash_hamming", "q122_source_health",

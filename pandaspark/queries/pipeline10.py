@@ -768,3 +768,109 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias(f"wau_trailing{_SW_DAYS}"))
     )
     return dau.join(wau, "day")
+
+
+# --- q150: chi-square term selection -----------------------------------------
+#
+# Supervised feature selection (the chi2 criterion every classical text
+# classifier build runs): score each term's association with the 'en'
+# class from its exact 2x2 document-frequency contingency table,
+#   chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+# Counts a,b,c,d are exact BIGINTs from one distinct-(term, doc) pass;
+# the formula then runs in doubles (numerator AND denominator — either
+# can exceed BIGINT at corpus scale) —
+# deterministic anyway: products of exactly-represented integers with a
+# fixed op order round identically in both engines. Top-30 by
+# (4-dp-rounded chi2, term) so ranking ties are stable.
+
+_X2_MIN_DF = 10
+_X2_TOPK = 30
+
+_Q150_ORACLE = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS BIGINT) AS n_en
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM td WHERE term <> ''
+  GROUP BY term
+  HAVING count(*) >= {_X2_MIN_DF}
+),
+x AS (
+  SELECT term, a, b, n_en - a AS c, n_docs - n_en - b AS d, n_docs
+  FROM t, n
+)
+SELECT term, a, b, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       floor(CAST(n_docs AS DOUBLE)
+             * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+             * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+             / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+             * 10000 + 0.5) / 10000.0 AS chi2
+FROM x
+ORDER BY chi2 DESC, term
+LIMIT {_X2_TOPK}
+"""
+
+
+@register(
+    "q150_chi2_terms",
+    _Q150_ORACLE,
+    "chi-square term-class association from exact 2x2 contingency counts",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _norm_text
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    td = (
+        spread(
+            d.select("doc_id", (F.col("lang") == "en").alias("is_en"),
+                     F.split(_norm_text(), " ").alias("w"))
+        )
+        .select("doc_id", "is_en", F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    n = d.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct(F.when(F.col("lang") == "en", F.col("doc_id"))).alias("n_en"),
+    )
+    t = (
+        td.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("b"),
+        )
+        .filter((F.col("a") + F.col("b")) >= _X2_MIN_DF)
+    )
+    x = t.crossJoin(F.broadcast(n)).select(
+        "term",
+        "a",
+        "b",
+        (F.col("n_en") - F.col("a")).alias("c"),
+        (F.col("n_docs") - F.col("n_en") - F.col("b")).alias("d"),
+        "n_docs",
+    )
+    diff = F.col("a").cast("double") * F.col("d") - F.col("b").cast("double") * F.col("c")
+    chi2 = (
+        F.col("n_docs").cast("double")
+        * diff
+        * diff
+        / ((F.col("a") + F.col("b")).cast("double") * (F.col("c") + F.col("d"))
+           * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+    )
+    r4 = F.floor(chi2 * 10000 + F.lit(0.5)) / 10000.0
+    return (
+        x.select("term", "a", "b", "c", "d", r4.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(_X2_TOPK)
+    )
