@@ -1,15 +1,18 @@
-"""Tranche 10: weighted order statistics.
+"""Tranche 10: order statistics, alignment mining, experimentation, and
+retrieval-index operators (q140-q150).
 
-q140 exact weighted median per group — the operator behind "median price
-weighted by volume" reports, which Spark has no native form for (and
-whose naive plan, a per-group sort window, caps parallelism at the group
-count — q27's documented skew trap). The scale-right plan is the same
-histogram shuffle q27 uses: aggregate weights per (group, value) first
-(map-side combinable, shuffle keyed on BOTH columns so hot groups still
-spread), then one cumulative window over the NDV-sized histogram, and
-pick the lower weighted median (first value whose cumulative weight
-reaches half the total). Exact integer weights end-to-end — no
-interpolation, no float accumulation.
+q140 weighted median / q141 Gini — both computed from the (group, value)
+HISTOGRAM (map-side combinable, shuffle keyed on group AND value so hot
+groups spread; the cumulative window runs over the NDV-sized histogram,
+never per-row) — the skew-safe shape q27 established for exact
+percentiles. q142/q143 — reciprocal-NN and LASER ratio-margin mining
+inside label blocks. q144 TWAP / q146 half-life decay — exact-integer
+time weighting (whole seconds; power-of-two decay weights). q145 —
+MATCH_RECOGNIZE-lite regex funnels over deterministic per-key sequences.
+q147 — inverted-index build with capped posting lists. q148 — A/B
+two-proportion z with IEEE-only arithmetic. q149 — sliding-window
+distinct via bounded pair fan-out. q150 — chi-square feature selection
+from exact contingency counts.
 """
 
 from __future__ import annotations
