@@ -198,6 +198,7 @@ from . import pipeline7  # noqa: E402,F401
 from . import pipeline8  # noqa: E402,F401
 from . import pipeline9  # noqa: E402,F401
 from . import pipeline10  # noqa: E402,F401
+from . import pipeline11  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per

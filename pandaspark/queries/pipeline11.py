@@ -1,0 +1,306 @@
+"""Tranche 11: sequence islands, skyline, robust stats, and temporal
+nearest-join operators (q151-q162).
+
+q151 gaps-and-islands — consecutive-day activity streaks via the
+date-minus-row_number island key (one keyed window, no self-join).
+q152 skyline / Pareto frontier — the sort-based O(n log n) plan (running
+max over a strictly-preceding RANGE frame), never the O(n^2) dominance
+self-join. q153 robust outliers — median/MAD from the (group, value)
+histogram shuffle q27/q140 established, so hot groups still spread.
+q154 nearest-event join — pandas merge_asof(direction='nearest')
+semantics from two frame-bounded keyed windows (no join at all).
+
+Reference parity: the reference's analysis layer stops at cascaded rules
+and grouped sums (/root/reference/panda.py); these are the
+beyond-reference operators a large-scale pipeline needs, expressed in the
+same exact-integer, engine-portable conventions as the rest of the
+registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# --- q151: consecutive-day activity streaks (gaps-and-islands) --------------
+#
+# The classic sessionization-by-calendar-day problem: per user, how many
+# distinct active days, how many maximal runs of consecutive days, and the
+# longest run. The island key is d - row_number() (constant within a
+# consecutive run, distinct across runs) — one keyed window over the
+# per-(user, day) deduped frame. At 100 TB: the distinct() collapses the
+# event stream to at most users x days rows map-side before any window,
+# and every window is PARTITIONED BY user — no global ordering anywhere.
+
+_Q151_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+@register(
+    "q151_activity_streaks",
+    _Q151_ORACLE,
+    "per-user consecutive-day streaks via the date-minus-row_number island key",
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.date_sub(F.col("d"), F.row_number().over(w)))
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("run_len").alias("longest_streak"),
+    )
+
+
+# --- q152: Pareto frontier (skyline) per brand -------------------------------
+#
+# Skyline query: the parts no other same-brand part dominates (cheaper or
+# equal price AND larger or equal size, strict in at least one). The naive
+# plan is the O(n^2) dominance self-join; the sort-based plan is two keyed
+# window passes over the distinct (price, size) points: a point survives
+# iff no strictly-cheaper point reaches its size (running max over the
+# RANGE frame ending 1 cent before) and no equal-price point exceeds it.
+# At 100 TB the window key (brand) partitions the work; the distinct()
+# collapses to NDV(price, size) rows per brand before either window.
+
+_Q152_ORACLE = """
+WITH pts AS (
+  SELECT p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT p_brand, price_cents, p_size, n_parts,
+         max(p_size) OVER (PARTITION BY p_brand ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper,
+         max(p_size) OVER (PARTITION BY p_brand, price_cents) AS best_same
+  FROM pts
+)
+SELECT p_brand, price_cents / 100.0 AS price, p_size, n_parts
+FROM m
+WHERE (best_cheaper IS NULL OR best_cheaper < p_size) AND p_size = best_same
+"""
+
+
+@register(
+    "q152_pareto_frontier",
+    _Q152_ORACLE,
+    "skyline (min price, max size) per brand via the sort-based window plan",
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .groupBy("p_brand", "price_cents", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("p_brand", "price_cents")
+    m = pts.withColumn("best_cheaper", F.max("p_size").over(cheaper)).withColumn(
+        "best_same", F.max("p_size").over(same)
+    )
+    return m.filter(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("p_size") == F.col("best_same"))
+    ).select(
+        "p_brand",
+        (F.col("price_cents") / F.lit(100.0)).alias("price"),
+        "p_size",
+        "n_parts",
+    )
+
+
+# --- q153: robust outliers via median/MAD ------------------------------------
+#
+# The robust counterpart to q81's 3-sigma rule: median absolute deviation
+# flags outliers without the mean/variance being dragged by the outliers
+# themselves (the estimator every data-quality monitor actually wants).
+# Exact integer plan: per event_type, lower weighted median from the
+# (type, value)-keyed histogram (cumulative-weight window over NDV-sized
+# data — q140's skew-safe shape), broadcast the per-type median back,
+# second histogram pass for the MAD, flag |x - med| > 3 * MAD. Two
+# NDV-sized shuffles + two broadcast joins; nothing is per-row sorted.
+
+_MED = """
+  SELECT {key} AS grp, CAST(min(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT) AS med
+  FROM (
+    SELECT {key}, v, w,
+           sum(w) OVER (PARTITION BY {key} ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w) OVER (PARTITION BY {key}) AS tw
+    FROM (SELECT {key}, {val} AS v, CAST(count(*) AS BIGINT) AS w
+          FROM {src} GROUP BY {key}, {val})
+  ) GROUP BY {key}
+"""
+
+_Q153_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+med AS ({_MED.format(key="event_type", val="v_cents", src="base")}),
+dev AS (
+  SELECT b.event_type, abs(b.v_cents - m.med) AS ad
+  FROM base b JOIN med m ON b.event_type = m.grp
+),
+mad AS ({_MED.format(key="event_type", val="ad", src="dev")})
+SELECT b.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       m.med / 100.0 AS median_value,
+       d.med / 100.0 AS mad_value,
+       CAST(count(CASE WHEN abs(b.v_cents - m.med) > 3 * d.med THEN 1 END)
+            AS BIGINT) AS n_outliers
+FROM base b
+JOIN med m ON b.event_type = m.grp
+JOIN mad d ON b.event_type = d.grp
+GROUP BY b.event_type, m.med, d.med
+"""
+
+
+def _lower_median(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Exact lower weighted median per key from the (key, value) histogram."""
+    h = df.groupBy(key, val).agg(F.count(F.lit(1)).alias("w"))
+    wk = Window.partitionBy(key)
+    c = h.withColumn(
+        "cw", F.sum("w").over(wk.orderBy(val).rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tw", F.sum("w").over(wk))
+    return c.groupBy(key).agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col(val))).cast("long").alias("med")
+    )
+
+
+@register(
+    "q153_mad_outliers",
+    _Q153_ORACLE,
+    "median/MAD robust outlier flags per event type, exact-integer histograms",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_cents")
+    )
+    med = _lower_median(base, "event_type", "v_cents")
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v_cents") - F.col("med")).alias("ad")
+    )
+    mad = _lower_median(dev, "event_type", "ad").withColumnRenamed("med", "mad")
+    j = base.join(F.broadcast(med), "event_type").join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.abs(F.col("v_cents") - F.col("med")) > 3 * F.col("mad"), F.lit(1))
+        ).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("med") / F.lit(100.0)).alias("median_value"),
+        (F.col("mad") / F.lit(100.0)).alias("mad_value"),
+        "n_outliers",
+    )
+
+
+# --- q154: nearest-event temporal join ---------------------------------------
+#
+# pandas merge_asof(direction='nearest', tolerance=...) semantics: each
+# purchase matches its nearest same-user click within +/-10 minutes, ties
+# to the earlier (backward) side. Zero joins: per user-keyed, ts-ordered
+# window, the latest preceding click is max(click ts) over the frame
+# ending 1 row before, the earliest following click is min(click ts) over
+# the frame starting 1 row after (exact because ts ordering makes those
+# extrema the temporal neighbors). Exact integer microseconds throughout.
+# At 100 TB this is one keyed window pass over the event stream — the
+# shape that wins over the union-of-two-asof-joins plan by two shuffles.
+
+_TOL_US = 600 * 1_000_000
+
+_Q154_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN coalesce(t_us - prev_click, {_TOL_US + 1})
+                 <= coalesce(next_click - t_us, {_TOL_US + 1})
+            THEN t_us - prev_click ELSE next_click - t_us END AS delta_us,
+       CASE WHEN coalesce(t_us - prev_click, {_TOL_US + 1})
+                 <= coalesce(next_click - t_us, {_TOL_US + 1})
+            THEN 'before' ELSE 'after' END AS click_side
+FROM e
+WHERE event_type = 'purchase'
+  AND least(coalesce(t_us - prev_click, {_TOL_US + 1}),
+            coalesce(next_click - t_us, {_TOL_US + 1})) <= {_TOL_US}
+"""
+
+
+@register(
+    "q154_nearest_event_join",
+    _Q154_ORACLE,
+    "merge_asof(nearest, tolerance) via one keyed window, zero joins",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("t_us"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    e = e.withColumn(
+        "prev_click", F.max(click_ts).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "next_click", F.min(click_ts).over(w.rowsBetween(1, Window.unboundedFollowing))
+    )
+    sentinel = F.lit(_TOL_US + 1)
+    back = F.coalesce(F.col("t_us") - F.col("prev_click"), sentinel)
+    fwd = F.coalesce(F.col("next_click") - F.col("t_us"), sentinel)
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .filter(F.least(back, fwd) <= F.lit(_TOL_US))
+        .select(
+            "event_id",
+            "user_id",
+            F.when(back <= fwd, back).otherwise(fwd).alias("delta_us"),
+            F.when(back <= fwd, F.lit("before")).otherwise(F.lit("after")).alias("click_side"),
+        )
+    )
