@@ -304,3 +304,243 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(back <= fwd, F.lit("before")).otherwise(F.lit("after")).alias("click_side"),
         )
     )
+
+
+# --- q155: largest-remainder quota allocation --------------------------------
+#
+# Hamilton/Hare apportionment: split a fixed sampling budget across
+# document sources proportionally to their doc counts so the integer
+# quotas sum EXACTLY to the budget — the quota-allocation step of every
+# stratified corpus-sampling job (q67 samples by fraction; this computes
+# the exact per-stratum take). Pure integer arithmetic: floor shares via
+# BIGINT div, the leftover distributed by largest fractional remainder
+# with a deterministic source tie-break. The windows here run over the
+# GROUP-cardinality frame (one row per source, an Aggregate output), so
+# the partition-less window is bounded by construction — the shape the
+# plan gate distinguishes from a per-row global sort.
+
+_BUDGET = 1000
+
+_Q155_ORACLE = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_docs,
+         sum(n_docs) OVER () AS total,
+         ({_BUDGET} * n_docs) // sum(n_docs) OVER () AS fl,
+         {_BUDGET} * n_docs - (({_BUDGET} * n_docs) // sum(n_docs) OVER ())
+           * sum(n_docs) OVER () AS rem
+  FROM c
+),
+r AS (
+  SELECT source, n_docs, fl, rem,
+         {_BUDGET} - sum(fl) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM s
+)
+SELECT source, n_docs,
+       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+"""
+
+
+@register(
+    "q155_quota_allocation",
+    _Q155_ORACLE,
+    "largest-remainder integer quota split of a sampling budget across sources",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_docs").over(wall)
+    fl = F.expr(f"({_BUDGET} * n_docs) div total")
+    s = c.withColumn("total", total).withColumn("fl", fl).withColumn(
+        "rem", F.lit(_BUDGET) * F.col("n_docs") - F.col("fl") * F.col("total")
+    )
+    r = s.withColumn("leftover", F.lit(_BUDGET) - F.sum("fl").over(wall)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        (F.col("fl") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+# --- q156: modal value per group (MODE aggregate) ----------------------------
+#
+# The MODE() statistical aggregate with a deterministic tie-break
+# (smallest value wins), over a multi-dim join: the dominant part brand
+# per supplier nation, with its exact share of the nation's lineitems.
+# Plan: both dims (part for the brand, supplier->nation for the group)
+# BROADCAST onto the fact scan, the (nation, brand) hash-agg combines
+# map-side, then a GROUP-cardinality window picks the argmax — the fact
+# table is never shuffled on a high-NDV key.
+
+_Q156_ORACLE = """
+WITH c AS (
+  SELECT n_name, p_brand, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, p_brand
+),
+r AS (
+  SELECT n_name, p_brand, n,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY n DESC, p_brand) AS rk,
+         sum(n) OVER (PARTITION BY n_name) AS total
+  FROM c
+)
+SELECT n_name, p_brand AS mode_brand, n AS n_mode,
+       floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000.0
+         AS share
+FROM r WHERE rk = 1
+"""
+
+
+@register(
+    "q156_group_mode",
+    _Q156_ORACLE,
+    "MODE() with deterministic tie-break: dominant part brand per supplier nation",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import round4
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("n_name")
+    r = c.withColumn(
+        "rk", F.row_number().over(wp.orderBy(F.col("n").desc(), "p_brand"))
+    ).withColumn("total", F.sum("n").over(wp))
+    return r.filter(F.col("rk") == 1).select(
+        "n_name",
+        F.col("p_brand").alias("mode_brand"),
+        F.col("n").alias("n_mode"),
+        round4(F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+    )
+
+
+# --- q157: quantile normalization (percent_rank features) --------------------
+#
+# Feature normalization by rank: percent_rank of each event's value within
+# its event type — the distribution-free scaling step ML feature pipelines
+# apply before mixing heterogeneous signals. percent_rank is exact
+# rational arithmetic ((min_rank - 1) / (n - 1), identical tie semantics
+# in both engines), then bucketed to ventiles. NOTE the window partitions
+# by event_type: with few types this is a per-type global sort — at 100 TB
+# swap in the range-partitioned two-phase ranking (operators.py's
+# two-phase pattern); the per-type window is the correct small-cluster
+# plan and the semantics anchor.
+
+_Q157_ORACLE = """
+WITH p AS (
+  SELECT event_id, event_type,
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY CAST(round(value * 100) AS BIGINT)) AS pr
+  FROM events
+)
+SELECT event_id, event_type,
+       floor(pr * 10000 + 0.5) / 10000.0 AS pr,
+       CAST(least(CAST(floor(pr * 20) AS BIGINT), 19) AS BIGINT) AS ventile
+FROM p
+"""
+
+
+@register(
+    "q157_quantile_normalize",
+    _Q157_ORACLE,
+    "percent_rank quantile normalization of event values within type",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import round4
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    p = e.withColumn("pr", F.percent_rank().over(w))
+    return p.select(
+        "event_id",
+        "event_type",
+        round4(F.col("pr")).alias("pr"),
+        F.least(F.floor(F.col("pr") * 20).cast("long"), F.lit(19).cast("long")).alias(
+            "ventile"
+        ),
+    )
+
+
+# --- q158: Z-order (Morton) layout audit -------------------------------------
+#
+# The clustering statistic behind OPTIMIZE ... ZORDER BY: interleave the
+# low 8 bits of two join/filter dimensions (part bucket, supplier bucket)
+# into a 16-bit Morton code, then report per-z-range file-bucket stats —
+# row count and the per-dimension value spread each z-bucket would pin
+# into one file. A layout writer sorts by zval so range pruning on EITHER
+# dimension skips most buckets; the audit's spread columns are exactly
+# the min/max file stats that pruning would consult. Pure bit arithmetic
+# (shifts, masks), identical in both engines; the bucketization is a
+# modulus stand-in for the hash-bucket step of a real layout job.
+
+_Z_TERMS_SQL = " + ".join(
+    f"((((l_partkey % 256) >> {i}) & 1) << {2 * i + 1})"
+    f" + ((((l_suppkey % 256) >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+_Q158_ORACLE = f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey, CAST({_Z_TERMS_SQL} AS BIGINT) AS zval
+  FROM lineitem
+)
+SELECT CAST(zval >> 10 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zval) AS BIGINT) AS z_min,
+       CAST(max(zval) AS BIGINT) AS z_max,
+       CAST(min(l_partkey % 256) AS BIGINT) AS part_lo,
+       CAST(max(l_partkey % 256) AS BIGINT) AS part_hi,
+       CAST(min(l_suppkey % 256) AS BIGINT) AS supp_lo,
+       CAST(max(l_suppkey % 256) AS BIGINT) AS supp_hi
+FROM z GROUP BY zval >> 10
+"""
+
+
+@register(
+    "q158_zorder_layout",
+    _Q158_ORACLE,
+    "Morton-code clustering audit: per-z-bucket row counts and pruning spreads",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    terms = " + ".join(
+        f"(shiftleft((shiftright(pmod(l_partkey, 256), {i}) & 1), {2 * i + 1})"
+        f" + shiftleft((shiftright(pmod(l_suppkey, 256), {i}) & 1), {2 * i}))"
+        for i in range(8)
+    )
+    z = li.withColumn("zval", F.expr(terms).cast("long"))
+    return z.groupBy(F.shiftright(F.col("zval"), 10).cast("long").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+        F.min(F.pmod(F.col("l_partkey"), F.lit(256))).cast("long").alias("part_lo"),
+        F.max(F.pmod(F.col("l_partkey"), F.lit(256))).cast("long").alias("part_hi"),
+        F.min(F.pmod(F.col("l_suppkey"), F.lit(256))).cast("long").alias("supp_lo"),
+        F.max(F.pmod(F.col("l_suppkey"), F.lit(256))).cast("long").alias("supp_hi"),
+    )
