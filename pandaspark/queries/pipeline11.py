@@ -544,3 +544,260 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.pmod(F.col("l_suppkey"), F.lit(256))).cast("long").alias("supp_lo"),
         F.max(F.pmod(F.col("l_suppkey"), F.lit(256))).cast("long").alias("supp_hi"),
     )
+
+
+# --- q159: calibration / lift table ------------------------------------------
+#
+# The model-evaluation table behind every "is the score calibrated?"
+# review: bucket users by a model score (here the click-count feature
+# itself — a monotone score proxy), and per bucket report cohort size,
+# observed conversion (purchase) rate, and the exact mean score. No
+# global sort anywhere: the bucket id is pure arithmetic on the per-user
+# aggregate, so the plan is two hash-aggs (user, then bucket). Rates are
+# IEEE divisions of exact integers; every float is round4'd.
+
+_Q159_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS clicks,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS purchases
+  FROM events GROUP BY user_id
+)
+SELECT least(clicks, 10) AS score_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(CASE WHEN purchases > 0 THEN 1 END) AS BIGINT) AS n_converted,
+       floor((CAST(count(CASE WHEN purchases > 0 THEN 1 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS conv_rate,
+       floor((CAST(sum(clicks) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5)
+         / 10000.0 AS avg_clicks
+FROM u GROUP BY least(clicks, 10)
+"""
+
+
+@register(
+    "q159_calibration_bins",
+    _Q159_ORACLE,
+    "score-bucket calibration table: observed conversion rate per click cohort",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import round4
+
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        )
+    )
+    b = u.groupBy(F.least(F.col("clicks"), F.lit(10).cast("long")).alias("score_bucket"))
+    return b.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("purchases") > 0, 1)).alias("n_converted"),
+        round4(
+            F.count(F.when(F.col("purchases") > 0, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conv_rate"),
+        round4(F.sum("clicks").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_clicks"
+        ),
+    )
+
+
+# --- q160: out-of-order arrival audit ----------------------------------------
+#
+# The measurement that picks a streaming watermark delay: how late do
+# events actually arrive? Arrival order is event_id (the ingest
+# sequence); an event is late if some earlier-arriving same-user event
+# carries a LATER timestamp, and its lateness is the gap to the running
+# max. One user-keyed window over arrival order (exact integer micros),
+# then a per-type rollup of count / late count / max / p-sum of lateness.
+# At 100 TB this is the per-key watermark-lag histogram job every
+# structured-streaming deployment runs before setting withWatermark().
+
+_Q160_ORACLE = """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hwm
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN hwm > t_us THEN 1 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN hwm > t_us THEN hwm - t_us END), 0) AS BIGINT)
+         AS max_lateness_us,
+       CAST(coalesce(sum(CASE WHEN hwm > t_us THEN hwm - t_us END), 0) AS BIGINT)
+         AS total_lateness_us
+FROM a GROUP BY event_type
+"""
+
+
+@register(
+    "q160_late_arrival_audit",
+    _Q160_ORACLE,
+    "watermark-lag audit: per-type lateness vs the per-user arrival high-water mark",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = e.withColumn("hwm", F.max("t_us").over(w))
+    late = F.when(F.col("hwm") > F.col("t_us"), F.col("hwm") - F.col("t_us"))
+    return a.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(late).alias("n_late"),
+        F.coalesce(F.max(late), F.lit(0)).cast("long").alias("max_lateness_us"),
+        F.coalesce(F.sum(late), F.lit(0)).cast("long").alias("total_lateness_us"),
+    )
+
+
+# --- q161: maximum drawdown per user -----------------------------------------
+#
+# The running-peak-to-trough statistic (finance's max drawdown, SRE's
+# error-budget burn): per user, daily net value (errors subtract), its
+# running sum, the running peak of that sum, and the deepest gap between
+# peak and current. Three user-keyed windows over the per-(user, day)
+# aggregate — the event stream collapses to users x days rows before any
+# window. Exact integer cents end-to-end; the final-day balance comes
+# from max_by/arg_max (deterministic: one row per (user, day)).
+
+_Q161_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CASE WHEN event_type = 'error'
+                       THEN -CAST(round(value * 100) AS BIGINT)
+                       ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           AS net_cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+c AS (
+  SELECT user_id, d, net_cents,
+         sum(net_cents) OVER (PARTITION BY user_id ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+),
+p AS (
+  SELECT user_id, d, cum,
+         max(cum) OVER (PARTITION BY user_id ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM c
+)
+SELECT user_id,
+       CAST(max(peak) AS BIGINT) / 100.0 AS peak_value,
+       CAST(max(peak - cum) AS BIGINT) / 100.0 AS max_drawdown,
+       CAST(arg_max(cum, d) AS BIGINT) / 100.0 AS final_value
+FROM p GROUP BY user_id
+"""
+
+
+@register(
+    "q161_max_drawdown",
+    _Q161_ORACLE,
+    "peak-to-trough max drawdown of per-user daily net value, exact cents",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.when(
+            F.col("event_type") == "error",
+            -F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("v"),
+    )
+    daily = e.groupBy("user_id", "d").agg(F.sum("v").alias("net_cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.withColumn("cum", F.sum("net_cents").over(w))
+    p = c.withColumn("peak", F.max("cum").over(w))
+    return p.groupBy("user_id").agg(
+        (F.max("peak").cast("long") / F.lit(100.0)).alias("peak_value"),
+        (F.max(F.col("peak") - F.col("cum")).cast("long") / F.lit(100.0)).alias(
+            "max_drawdown"
+        ),
+        (F.max_by("cum", "d").cast("long") / F.lit(100.0)).alias("final_value"),
+    )
+
+
+# --- q162: multi-touch attribution -------------------------------------------
+#
+# Conversion credit assignment: each purchase credits its same-user
+# click/view touches from the 7 preceding days — full credit to the last
+# touch (ties to the later arrival), and exact fractional credit under
+# the linear model as integer basis points (10000 div n per touch, so
+# credit sums are exact BIGINTs, never an order-dependent float sum).
+# Plan: a user-keyed equi-join bounded by the time predicate (at 100 TB
+# the touches side would additionally bucket by week so the join key is
+# (user, week) — the standard interval-join refinement q65 implements);
+# the last-touch pick is a purchase-keyed window over the joined pairs.
+
+_Q162_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events
+   WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+   WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id, t.event_type AS channel,
+         t.t_us AS touch_us, t.event_id AS touch_id,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touches,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.t_us DESC, t.event_id DESC) AS rk
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_us < p.t_us AND t.t_us >= p.t_us - 604800000000
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(CASE WHEN rk = 1 THEN 1 END) AS BIGINT) AS last_touch_conversions,
+       CAST(sum(10000 // n_touches) AS BIGINT) AS linear_credit_bp
+FROM pairs GROUP BY channel
+"""
+
+
+@register(
+    "q162_attribution",
+    _Q162_ORACLE,
+    "last-touch + exact linear multi-touch attribution over a 7-day lookback",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("t_us").alias("touch_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("t_us").alias("p_us")
+    )
+    week_us = F.lit(604800000000)
+    pairs = p.join(t, "user_id").filter(
+        (F.col("touch_us") < F.col("p_us")) & (F.col("touch_us") >= F.col("p_us") - week_us)
+    )
+    wp = Window.partitionBy("purchase_id")
+    pairs = pairs.withColumn("n_touches", F.count(F.lit(1)).over(wp)).withColumn(
+        "rk",
+        F.row_number().over(wp.orderBy(F.col("touch_us").desc(), F.col("touch_id").desc())),
+    )
+    return pairs.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.count(F.when(F.col("rk") == 1, 1)).alias("last_touch_conversions"),
+        F.sum(F.expr("10000 div n_touches")).alias("linear_credit_bp"),
+    )
