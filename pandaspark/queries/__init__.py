@@ -212,6 +212,10 @@ from . import pipeline11  # noqa: E402,F401
 # q35-q73's tranche).
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
+    "q151_activity_streaks", "q152_pareto_frontier", "q153_mad_outliers",
+    "q154_nearest_event_join", "q155_quota_allocation", "q156_group_mode",
+    "q157_quantile_normalize", "q158_zorder_layout", "q159_calibration_bins",
+    "q160_late_arrival_audit", "q161_max_drawdown", "q162_attribution",
     "q134_power_iteration", "q135_dsir_selection", "q136_column_profile",
     "q137_merge_sync", "q138_triangle_count", "q139_salted_join",
     "q140_weighted_median", "q141_gini_concentration", "q142_mutual_nn",

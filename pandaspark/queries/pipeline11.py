@@ -9,6 +9,14 @@ self-join. q153 robust outliers — median/MAD from the (group, value)
 histogram shuffle q27/q140 established, so hot groups still spread.
 q154 nearest-event join — pandas merge_asof(direction='nearest')
 semantics from two frame-bounded keyed windows (no join at all).
+q155 largest-remainder quota allocation (exact integer apportionment over
+the GROUP-cardinality frame). q156 MODE() with deterministic tie-break
+behind broadcast dims. q157 percent_rank quantile normalization. q158
+Z-order/Morton layout audit in pure bit arithmetic. q159 calibration
+table from two chained hash-aggs. q160 watermark-lag audit (per-user
+arrival high-water mark). q161 max drawdown over the per-day aggregate.
+q162 last-touch + exact-integer linear attribution over a time-bounded
+user-keyed join.
 
 Reference parity: the reference's analysis layer stops at cascaded rules
 and grouped sums (/root/reference/panda.py); these are the
