@@ -126,9 +126,13 @@ def main() -> None:
         "slowest3": slowest,
     }
     if duck:
-        summary["spark_total_common"] = round(sum(timings[n] for n in duck), 3)
-        summary["duckdb_total_common"] = round(sum(duck.values()), 3)
-        summary["n_common"] = len(duck)
+        # short keys on the printed line (full-name triple incl. n_common
+        # in BENCH_DETAIL.json) — headroom for a ~165-query registry
+        summary["spark_common"] = round(sum(timings[n] for n in duck), 3)
+        summary["duckdb_common"] = round(sum(duck.values()), 3)
+        detail_extra["spark_total_common"] = summary["spark_common"]
+        detail_extra["duckdb_total_common"] = summary["duckdb_common"]
+        detail_extra["n_common"] = len(duck)
     with open(detail_path, "w") as f:
         json.dump(
             {

@@ -1,5 +1,5 @@
 """Tranche 11: sequence islands, skyline, robust stats, and temporal
-nearest-join operators (q151-q162).
+nearest-join operators (q151-q164).
 
 q151 gaps-and-islands — consecutive-day activity streaks via the
 date-minus-row_number island key (one keyed window, no self-join).
@@ -16,7 +16,8 @@ Z-order/Morton layout audit in pure bit arithmetic. q159 calibration
 table from two chained hash-aggs. q160 watermark-lag audit (per-user
 arrival high-water mark). q161 max drawdown over the per-day aggregate.
 q162 last-touch + exact-integer linear attribution over a time-bounded
-user-keyed join.
+user-keyed join. q163 IQR winsorization with exact histogram quartiles.
+q164 header-vs-lineitem total reconciliation on the co-keyed join.
 
 Reference parity: the reference's analysis layer stops at cascaded rules
 and grouped sums (/root/reference/panda.py); these are the
@@ -808,4 +809,170 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.count(F.when(F.col("rk") == 1, 1)).alias("last_touch_conversions"),
         F.sum(F.expr("10000 div n_touches")).alias("linear_credit_bp"),
+    )
+
+
+# --- q163: IQR winsorization (outlier capping) -------------------------------
+#
+# The feature-cleaning step before any mean-based statistic: cap values at
+# [Q1 - 1.5*IQR, Q3 + 1.5*IQR] per group and report how much was clipped.
+# Quartiles are exact discrete lower-quantiles from the same (group,
+# value)-keyed histogram as q140/q153 (min v with 4*cw >= tw, resp.
+# 4*cw >= 3*tw) — skew-safe, NDV-sized windows, no per-row sort. The
+# capped mean stays exact: integer cents clamped then summed as BIGINT.
+
+_Q163_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+h AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS w
+  FROM base GROUP BY event_type, v
+),
+c AS (
+  SELECT event_type, v, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM h
+),
+q AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN cw * 4 >= tw THEN v END) AS BIGINT) AS q1,
+         CAST(min(CASE WHEN cw * 4 >= 3 * tw THEN v END) AS BIGINT) AS q3
+  FROM c GROUP BY event_type
+),
+b AS (
+  SELECT event_type, q1, q3,
+         q1 - 3 * (q3 - q1) // 2 AS lo,
+         q3 + 3 * (q3 - q1) // 2 AS hi
+  FROM q
+)
+SELECT base.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_capped_low,
+       CAST(count(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_capped_high,
+       b.q1 / 100.0 AS q1_value,
+       b.q3 / 100.0 AS q3_value,
+       CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) / 100.0 AS capped_sum
+FROM base JOIN b ON base.event_type = b.event_type
+GROUP BY base.event_type, b.q1, b.q3
+"""
+
+
+@register(
+    "q163_iqr_winsorize",
+    _Q163_ORACLE,
+    "per-group IQR outlier capping with exact quartiles and clipped sums",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    h = base.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("w"))
+    wk = Window.partitionBy("event_type")
+    c = h.withColumn(
+        "cw", F.sum("w").over(wk.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tw", F.sum("w").over(wk))
+    q = c.groupBy("event_type").agg(
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("v"))).cast("long").alias("q1"),
+        F.min(F.when(F.col("cw") * 4 >= 3 * F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("q3"),
+    )
+    # integer bound arithmetic: 3*(q3-q1)/2 with BIGINT div — mirrored in SQL
+    b = q.withColumn("lo", F.expr("q1 - 3 * (q3 - q1) div 2")).withColumn(
+        "hi", F.expr("q3 + 3 * (q3 - q1) div 2")
+    )
+    j = base.join(F.broadcast(b), "event_type")
+    capped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type", "q1", "q3").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("v") < F.col("lo"), 1)).alias("n_capped_low"),
+        F.count(F.when(F.col("v") > F.col("hi"), 1)).alias("n_capped_high"),
+        (F.sum(capped).cast("long") / F.lit(100.0)).alias("capped_sum"),
+    ).select(
+        "event_type",
+        "n",
+        "n_capped_low",
+        "n_capped_high",
+        (F.col("q1") / F.lit(100.0)).alias("q1_value"),
+        (F.col("q3") / F.lit(100.0)).alias("q3_value"),
+        "capped_sum",
+    )
+
+
+# --- q164: order-total reconciliation audit ----------------------------------
+#
+# The invariant check every finance/data-quality pipeline runs after
+# ingest: does the order header total equal the sum of its line charges?
+# Charge is computed in one IEEE expression (identical in both engines),
+# floored to cents; the per-order rollup is a BIGINT sum co-keyed with
+# the join (orderkey-to-orderkey: at 100 TB both facts arrive bucketed on
+# the key, so this is the Exchange-free co-located join test_layout
+# gates). Headers with no lineitems surface as full-price mismatches via
+# the left join's zero-fill.
+
+_Q164_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS charge_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents,
+         coalesce(li.charge_cents, 0) AS charge_cents
+  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(CASE WHEN abs(header_cents - charge_cents) > 1 THEN 1 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(max(abs(header_cents - charge_cents)) AS BIGINT) AS max_abs_diff_cents,
+       CAST(sum(header_cents - charge_cents) AS BIGINT) AS net_diff_cents
+FROM j GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q164_total_reconciliation",
+    _Q164_ORACLE,
+    "header-vs-lineitem total reconciliation, exact cents, co-keyed join",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * (F.lit(1) + F.col("l_tax"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("charge"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("charge").alias("charge_cents"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        "header_cents",
+        F.coalesce(F.col("charge_cents"), F.lit(0).cast("long")).alias("charge_cents"),
+    )
+    diff = F.col("header_cents") - F.col("charge_cents")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.abs(diff) > 1, 1)).alias("n_mismatch"),
+        F.max(F.abs(diff)).alias("max_abs_diff_cents"),
+        F.sum(diff).alias("net_diff_cents"),
     )

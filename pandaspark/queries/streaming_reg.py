@@ -1,0 +1,164 @@
+"""Streaming-engine registry entries (q165-q166).
+
+These two queries run the REAL Structured Streaming engine — file-source
+stream, watermark, windowed/session state store, memory sink driven to
+completion with processAllAvailable — and register the result frame
+against the same ANSI oracles the batch forms use (q25's tumbling
+windows, q26's session islands). That makes the streaming path itself
+value-hash-checked by the driver, not just pytest-mirrored: on a bounded
+input, a correct streaming engine must produce byte-identical aggregates
+to the batch plan.
+
+Scale shape: the file source lists and splits parquet like the batch
+scan; the windowed aggregate keeps only open-window state (watermark
+evicts the rest), and the memory sink stands in for the parquet/Kafka
+sink a deployment would use (`streaming.py` owns those paths). Reference
+parity: the reference has no streaming surface at all
+(/root/reference/panda.py is batch pandas) — this is pure
+beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import register, sql_cents_sum
+
+_uid = itertools.count()
+
+_EVENTS_TS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_NANOS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in _EVENTS_TS]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source event stream with the same two-generation ts dispatch as
+    queries.load(): nanos-int64 fixtures stream as LongType and truncate to
+    micros; native-timestamp fixtures stream as TimestampType directly."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same scale-aware shuffle width as queries.load(): the streaming state
+    # store hash-partitions on the shuffle width, and 200 near-empty state
+    # partitions is pure scheduling overhead at bench scales
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get(
+            "PANDASPARK_SHUFFLE_PARTITIONS",
+            str(spark.sparkContext.defaultParallelism),
+        ),
+    )
+    base = sf_dir.rstrip("/")
+    batch_ts = spark.read.parquet(f"{base}/events.parquet").schema["ts"].dataType
+    # the file source rejects a plain single-file path ("basePath must be a
+    # directory"); a glob is accepted and resolves basePath to the parent,
+    # covering both fixture layouts (single file and multi-part directory)
+    schema = _EVENTS_NANOS if isinstance(batch_ts, T.LongType) else _EVENTS_TS
+    raw = spark.readStream.format("parquet").schema(schema).load(f"{base}/events.[p]arquet")
+    if isinstance(batch_ts, T.LongType):
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_complete(df: DataFrame, prefix: str) -> DataFrame:
+    """Drive a bounded stream aggregate to completion into a uniquely-named
+    memory sink (bench/driver call each query repeatedly in one session)."""
+    name = f"{prefix}_{next(_uid)}"
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+_Q165_ORACLE = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_cents_sum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q165_stream_tumbling",
+    _Q165_ORACLE,
+    "Structured Streaming tumbling-window agg, hash-checked against batch SQL",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+    return _run_complete(agg, "q165_tumbling")
+
+
+_Q166_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_no
+"""
+
+
+@register(
+    "q166_stream_sessions",
+    _Q166_ORACLE,
+    "Structured Streaming session windows, hash-checked against island SQL",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_complete(agg, "q166_sessions")
