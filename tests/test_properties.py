@@ -335,3 +335,187 @@ SELECT da, db, i, ns - i AS u FROM p WHERE i * 10 >= (ns - i) * 9
     want = {(da, db): (i, u) for da, db, i, u in naive}
     assert want, "naive subset found no pairs — test would be vacuous"
     assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["Brand#1", "Brand#2"]),
+            st.integers(min_value=100, max_value=2000),  # price cents
+            st.integers(min_value=1, max_value=20),  # size
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q152_skyline_equals_naive_dominance(spark, tmp_path_factory, parts):
+    """The sort-based window skyline must equal the O(n^2) dominance
+    definition: a distinct (price, size) point survives iff no same-brand
+    point is <= in price AND >= in size with at least one strict."""
+    from pandaspark.queries import REGISTRY
+
+    rows = [
+        (i, f"part{i}", b, "T", sz, pc / 100.0) for i, (b, pc, sz) in enumerate(parts)
+    ]
+    tmp = tmp_path_factory.mktemp("skyprop")
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp / "part.parquet"))
+    got = {
+        (r.p_brand, round(r.price * 100), r.p_size)
+        for r in REGISTRY["q152_pareto_frontier"].fn(spark, str(tmp)).collect()
+    }
+    pts = {(b, pc, sz) for b, pc, sz in parts}
+    expect = {
+        (b, pc, sz)
+        for (b, pc, sz) in pts
+        if not any(
+            b2 == b
+            and pc2 <= pc
+            and sz2 >= sz
+            and (pc2 < pc or sz2 > sz)
+            for (b2, pc2, sz2) in pts
+        )
+    }
+    assert got == expect
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.sampled_from(["click", "purchase", "view"]),
+            st.integers(min_value=0, max_value=3000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q154_nearest_join_equals_brute_force(spark, tmp_path_factory, events):
+    """The window-based nearest-event join must equal the brute-force
+    definition: nearest same-user click within +/-600s, ties to before."""
+    import datetime as _dt
+
+    from pandaspark.queries import REGISTRY
+
+    base = _dt.datetime(2024, 1, 1)
+    # unique microsecond offsets make timestamps distinct (ties between a
+    # click and a purchase at the same instant are a separate, documented
+    # arrival-order rule — not what this property exercises)
+    rows = [
+        (i, base + _dt.timedelta(seconds=s, microseconds=i), u, t, 1.0, "{}")
+        for i, (u, t, s) in enumerate(events)
+    ]
+    tmp = tmp_path_factory.mktemp("nearprop")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {
+        r.event_id: (r.delta_us, r.click_side)
+        for r in REGISTRY["q154_nearest_event_join"].fn(spark, str(tmp)).collect()
+    }
+    us = {i: int((r[1] - base).total_seconds() * 1_000_000) for i, r in enumerate(rows)}
+    tol = 600 * 1_000_000
+    expect = {}
+    for i, (u, t, _s) in enumerate(events):
+        if t != "purchase":
+            continue
+        before = [us[i] - us[j] for j, (u2, t2, _) in enumerate(events)
+                  if u2 == u and t2 == "click" and us[j] < us[i]]
+        after = [us[j] - us[i] for j, (u2, t2, _) in enumerate(events)
+                 if u2 == u and t2 == "click" and us[j] > us[i]]
+        b = min(before) if before else tol + 1
+        a = min(after) if after else tol + 1
+        if min(b, a) <= tol:
+            expect[i] = (b, "before") if b <= a else (a, "after")
+    assert got == expect
+
+
+@FAST
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=12)
+)
+def test_q155_quota_allocation_invariants(spark, tmp_path_factory, counts):
+    """Largest-remainder allocation: quotas sum exactly to the budget and
+    equal the Python Hamilton reference with the (remainder desc, source
+    asc) tie-break."""
+    from pandaspark.queries import REGISTRY
+
+    docs, sources = [], []
+    doc_id = 0
+    for s_i, n in enumerate(counts):
+        sources.append(f"src{s_i:02d}")
+        for _ in range(n):
+            docs.append((doc_id, f"text {doc_id}", "en", f"src{s_i:02d}", 10))
+            doc_id += 1
+    tmp = tmp_path_factory.mktemp("quotaprop")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r.source: r.quota
+        for r in REGISTRY["q155_quota_allocation"].fn(spark, str(tmp)).collect()
+    }
+    budget, total = 1000, sum(counts)
+    fl = {s: budget * n // total for s, n in zip(sources, counts)}
+    rem = {s: budget * n - fl[s] * total for s, n in zip(sources, counts)}
+    leftover = budget - sum(fl.values())
+    order = sorted(sources, key=lambda s: (-rem[s], s))
+    expect = {s: fl[s] + (1 if order.index(s) < leftover else 0) for s in sources}
+    assert got == expect
+    assert sum(got.values()) == budget
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=5),  # day offset
+            st.sampled_from(["click", "error"]),
+            st.integers(min_value=0, max_value=10**4),  # value cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q161_drawdown_matches_python_reference(spark, tmp_path_factory, events):
+    import datetime as _dt
+    from collections import defaultdict
+
+    from pandaspark.queries import REGISTRY
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(days=d, seconds=i), u, t, c / 100.0, "{}")
+        for i, (u, d, t, c) in enumerate(events)
+    ]
+    tmp = tmp_path_factory.mktemp("ddprop")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {
+        r.user_id: (r.peak_value, r.max_drawdown, r.final_value)
+        for r in REGISTRY["q161_max_drawdown"].fn(spark, str(tmp)).collect()
+    }
+    daily = defaultdict(int)
+    for u, d, t, c in events:
+        daily[(u, d)] += -c if t == "error" else c
+    expect = {}
+    for u in {u for u, *_ in events}:
+        cum, dd = 0, 0
+        peak = None
+        for d in sorted(d for (u2, d) in daily if u2 == u):
+            cum += daily[(u, d)]
+            peak = cum if peak is None else max(peak, cum)
+            dd = max(dd, peak - cum)
+        expect[u] = (peak / 100.0, dd / 100.0, cum / 100.0)
+    assert got == expect
