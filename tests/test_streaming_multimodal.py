@@ -225,3 +225,42 @@ def test_stream_chunk_manifest_matches_batch(spark, tmp_path_factory):
     assert sorted(map(key, (r.asDict() for r in got.collect()))) == sorted(
         map(key, (r.asDict() for r in want.collect()))
     )
+
+
+def test_streaming_registry_entries_handle_nanos_fixtures(spark, tmp_path):
+    """q165/q166 must work on BOTH event fixture generations. Build an
+    int64-nanos parquet (TIMESTAMP(NANOS), readable only via the
+    nanosAsLong conf) and check the streaming tumbling agg equals the
+    batch q25 plan on the same data — the _event_stream dispatch mirrors
+    queries.load()'s."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandaspark.queries import load as qload
+
+    rows = qload(spark, SF_DIR, "events").limit(200).collect()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r.event_id for r in rows], pa.int64()),
+            "ts": pa.array([r.ts for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r.user_id for r in rows], pa.int64()),
+            "event_type": pa.array([r.event_type for r in rows], pa.string()),
+            "value": pa.array([r.value for r in rows], pa.float64()),
+            "props": pa.array([r.props for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "nanos_sf"
+    (d / "events.parquet").mkdir(parents=True)
+    pq.write_table(tbl, str(d / "events.parquet" / "part-0.parquet"), version="2.6")
+    # confirm the fixture really is the nanos generation for this Spark
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = spark.read.parquet(str(d / "events.parquet")).schema["ts"].dataType
+    assert isinstance(raw_ts, LongType), f"expected nanos int64 fixture, got {raw_ts}"
+
+    got = REGISTRY["q165_stream_tumbling"].fn(spark, str(d)).collect()
+    want = REGISTRY["q25_tumbling_window"].fn(spark, str(d)).collect()
+    g = {(str(r.bucket), r.event_type): (r.n, r.total_value) for r in got}
+    w = {(str(r.bucket), r.event_type): (r.n, r.total_value) for r in want}
+    assert g == w and len(g) > 0
