@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -396,4 +397,136 @@ def two_phase_running_total(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(alias, F.col("_local_cum") + F.col("_offset"))
         .drop("_pid", "_v", "_local_cum", "_offset")
+    )
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    direction: str = "backward",
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """pandas.merge_asof parity as ONE keyed window pass (no join at all).
+
+    For each left row, attach the matching right row's columns (LEFT join
+    semantics — unmatched left rows keep nulls):
+
+    - direction='backward': latest right with right_time <= left_time
+    - direction='forward':  earliest right with right_time >= left_time
+    - direction='nearest':  the temporally closer of the two; equal
+      distance resolves backward (pandas' rule)
+    - tolerance: maximum |time delta| for a match. Times compare in
+      MICROSECONDS when the time columns are timestamps (tolerance is
+      then microseconds too), natively otherwise.
+
+    Exact matches count in every direction (pandas allow_exact_matches).
+    Among several right rows at the SAME admissible time, the one with
+    the greatest (time-adjacent) position in the (time, payload) sort
+    order wins for backward and the least for forward — deterministic,
+    documented, and irrelevant when right times are unique per key.
+
+    Plan shape (the 100 TB argument): both inputs union into one frame,
+    and every subsequent step is a window PARTITIONED BY the `by` keys —
+    shuffle each side once on the key, sort within partition, zero
+    join fan-out. The O(matches) intermediate of the naive non-equi-join
+    formulation (asof_join above, kept as the semantic anchor) never
+    materializes. q154 is the registry's oracle-checked single-table
+    instance of the same trick.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest: {direction}")
+    keys = [by] if isinstance(by, str) else list(by)
+    if not keys:
+        raise ValueError("merge_asof requires at least one `by` key")
+
+    renames = {
+        c: c + suffix
+        for c in right.columns
+        if c in left.columns and c not in keys
+    }
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    right_time = renames.get(right_time, right_time)
+    payload_cols = [c for c in right.columns if c not in keys]
+
+    def ordcol(df: DataFrame, c: str) -> Column:
+        t = df.schema[c].dataType.typeName()
+        return F.unix_micros(F.col(c)) if t.startswith("timestamp") else F.col(c)
+
+    lt = ordcol(left, left_time)
+    payload = F.struct(
+        ordcol(right, right_time).alias("__t"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    lu = left.select(
+        *[F.col(c) for c in keys],
+        lt.alias("__t_ord"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in keys],
+        F.lit(None).cast(
+            T.StructType(
+                [T.StructField("__t", T.LongType())]
+                + [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+            )
+        ).alias("__p"),
+    )
+    ru = right.filter(F.col(right_time).isNotNull()).select(
+        *[F.col(c) for c in keys],
+        ordcol(right, right_time).alias("__t_ord"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        payload.alias("__p"),
+    )
+    u = lu.unionByName(ru)
+
+    out = u
+    prev_p = next_p = None
+    if direction in ("backward", "nearest"):
+        # right rows sort BEFORE left rows at equal times, so exact
+        # matches land in the strictly-preceding frame
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy("__t_ord", "__is_left", "__p")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_p = F.last("__p", ignorenulls=True).over(wb)
+        out = out.withColumn("__prev", prev_p)
+    if direction in ("forward", "nearest"):
+        # right rows sort AFTER left rows at equal times for the
+        # strictly-following frame to include exact matches
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy("__t_ord", (1 - F.col("__is_left")), "__p")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        next_p = F.first("__p", ignorenulls=True).over(wf)
+        out = out.withColumn("__next", next_p)
+
+    big = F.lit((1 << 62)).cast("long")
+    if direction == "backward":
+        delta = F.col("__t_ord") - F.col("__prev.__t")
+        ok = delta.isNotNull() & ((delta <= F.lit(tolerance)) if tolerance is not None else F.lit(True))
+        chosen = F.when(ok, F.col("__prev"))
+    elif direction == "forward":
+        delta = F.col("__next.__t") - F.col("__t_ord")
+        ok = delta.isNotNull() & ((delta <= F.lit(tolerance)) if tolerance is not None else F.lit(True))
+        chosen = F.when(ok, F.col("__next"))
+    else:
+        back = F.coalesce(F.col("__t_ord") - F.col("__prev.__t"), big)
+        fwd = F.coalesce(F.col("__next.__t") - F.col("__t_ord"), big)
+        nearest = F.when(back <= fwd, F.col("__prev")).otherwise(F.col("__next"))
+        best = F.least(back, fwd)
+        ok = (best < big) & ((best <= F.lit(tolerance)) if tolerance is not None else F.lit(True))
+        chosen = F.when(ok, nearest)
+
+    res = out.filter(F.col("__is_left") == 1).withColumn("__m", chosen)
+    return res.select(
+        *[F.col(c) for c in keys],
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.col("__m").getField(c).alias(c) for c in payload_cols],
     )
