@@ -76,14 +76,20 @@ from .text import _norm_text
 
 # --- q115: SemDeDup (cluster-bounded cosine near-dedup) ---------------------
 
-_SD_DIVISOR = 32  # target mean cluster occupancy: K = max(16, N/32)
 # centroids = the K lowest vec_ids (deterministic seeds). K SCALES WITH THE
-# CORPUS — the SemDeDup scale contract: fixed K makes per-cluster occupancy
-# (and intra-cluster pairs, which grow with occupancy^2) rise linearly with
-# N, turning the pair stage quadratic (measured 6.5x time at 5x data with
-# K=64). K = N/32 pins expected occupancy at ~32, so total pair work is
-# ~N*32/2 — linear in the corpus, which is the entire point of the recipe.
-_SD_K_SQL = f"(SELECT greatest(16, count(*) // {_SD_DIVISOR}) FROM embeddings)"
+# CORPUS as K = max(16, round(2*sqrt(N))) — the IVF nlist heuristic, and
+# the balance point of this recipe's two cost terms: nearest-centroid
+# assignment costs N*K distance folds and the intra-cluster pair stage
+# costs ~N^2/(2K) cosines, so K ~ sqrt(N) makes BOTH O(N^1.5). The two
+# rejected corner cases were each measured as real defects: fixed K=64
+# made occupancy (and pairs) grow linearly -> quadratic pair stage (6.5x
+# time at 5x data); K = N/32 pinned occupancy but made the assignment
+# term quadratic (5x -> 25x data: 4.3s -> 37.7s, caught by the 25x set).
+# sqrt is IEEE-exact in both engines, so the oracle reproduces K exactly.
+_SD_K_SQL = (
+    "(SELECT greatest(16, CAST(round(2 * sqrt(CAST(count(*) AS DOUBLE)))"
+    " AS BIGINT)) FROM embeddings)"
+)
 _SD_DIMS = 64
 _SD_TAU = 0.35  # threshold on the round4'd cosine (engine-exact boundary)
 
@@ -139,12 +145,12 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
     )
-    # corpus-scaled K (see _SD_DIVISOR note): a 1-row count broadcast keeps
+    # corpus-scaled K (see _SD_K_SQL note): a 1-row count broadcast keeps
     # the plan fully lazy — no driver-side count() round-trip
     k = load(spark, sf_dir, "embeddings").agg(
         F.greatest(
             F.lit(16).cast("long"),
-            F.floor(F.count(F.lit(1)) / _SD_DIVISOR).cast("long"),
+            F.round(F.lit(2) * F.sqrt(F.count(F.lit(1)).cast("double"))).cast("long"),
         ).alias("k")
     )
     cents = (
