@@ -42,7 +42,11 @@ def main() -> None:
     if data_bytes < 1 << 30:
         os.environ.setdefault("PANDASPARK_SHUFFLE_PARTITIONS", "8")
     spark = get_spark("pandaspark-bench", aqe=aqe)
-    spark.sparkContext.setLogLevel("ERROR")
+    # OFF, not ERROR: the streaming queries log benign post-completion
+    # accumulator ERRORs (~100s of KB of stack traces) that can crowd the
+    # JSON result line out of the driver's bounded merged-output capture.
+    # Real failures still surface as Python exceptions (non-zero rc).
+    spark.sparkContext.setLogLevel("OFF")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup
@@ -160,8 +164,12 @@ def main() -> None:
     short = {n.split("_", 1)[0]: round(v, 1) for n, v in sorted(timings.items())}
     line = json.dumps({**summary, "queries": short}, separators=(",", ":"))
     assert len(line) < 1900, f"bench summary line too long ({len(line)} chars)"
-    print(line)
+    # stop Spark BEFORE printing: the driver keeps only a bounded tail of
+    # merged output, so a single shutdown log line after the JSON would
+    # clip the line's head out of the capture window
     spark.stop()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

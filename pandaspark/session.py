@@ -31,6 +31,9 @@ def get_spark(app_name: str = "pandaspark", aqe: bool = True) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # no stderr progress bars: the bench driver captures a bounded tail
+        # of merged output, and \r-spam competes with the JSON result line
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
