@@ -20,6 +20,24 @@ from pandaspark.queries import REGISTRY  # noqa: E402
 from pandaspark.session import get_spark  # noqa: E402
 
 
+def build_line(summary: dict, timings: dict[str, float]) -> str:
+    """One short JSON line for the driver's bounded stdout-tail capture:
+    per-query timings under SHORT keys (q01…) at 1dp, compact separators.
+    If the registry outgrows the 1900-char window, degrade to the slowest
+    queries (the informative ones) and flag how many were dropped rather
+    than crash the artifact — the full dict is always in BENCH_DETAIL.json.
+    """
+    short = {n.split("_", 1)[0]: round(v, 1) for n, v in sorted(timings.items())}
+    line = json.dumps({**summary, "queries": short}, separators=(",", ":"))
+    if len(line) >= 1900:
+        keep = dict(sorted(short.items(), key=lambda kv: -kv[1])[:120])
+        line = json.dumps(
+            {**summary, "queries_truncated": len(short) - len(keep), "queries": keep},
+            separators=(",", ":"),
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # AQE is the production default (see session.get_spark docstring), but
@@ -156,13 +174,7 @@ def main() -> None:
             f,
             indent=1,
         )
-    # per-query timings under SHORT keys (q01...) at 1dp and COMPACT JSON
-    # separators keep the line parseable within the driver's bounded capture
-    # at 136+ queries (2dp crossed the 1900-char assert at 131; default
-    # ', '/': ' separators would cross it around 135); full names and 3dp
-    # live in the detail file
-    short = {n.split("_", 1)[0]: round(v, 1) for n, v in sorted(timings.items())}
-    line = json.dumps({**summary, "queries": short}, separators=(",", ":"))
+    line = build_line(summary, timings)
     assert len(line) < 1900, f"bench summary line too long ({len(line)} chars)"
     # stop Spark BEFORE printing: the driver keeps only a bounded tail of
     # merged output, so a single shutdown log line after the JSON would
