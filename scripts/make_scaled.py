@@ -81,9 +81,25 @@ def main() -> None:
                     (3 + c) % 5
                 ] + vowels[(4 + c) % 5]
                 df = df.withColumn("text", F.translate("text", vowels, rot))
+                # the vowel rotation has period 5: without a second axis,
+                # copies c and c+5 would be IDENTICAL text, so any K>5 set
+                # would hand the dedup/LSH family clone groups whose
+                # candidate volume scales with K instead of the corpus —
+                # rotate the consonant alphabet by c//5 as well (combined
+                # period 5*19=95, byte-identical to the old scheme for K<=5)
+                if c // 5:
+                    cons = "bcdfghjklmnpqrstvwz"
+                    s = c // 5 % len(cons)
+                    df = df.withColumn(
+                        "text", F.translate("text", cons, cons[s:] + cons[:s])
+                    )
             if t == "embeddings" and c > 0:
                 sign = -1.0 if c % 2 else 1.0
-                roll = c % 8
+                # roll period must exceed K/2 or copies collide (old c%8 +
+                # sign parity repeated every 16 copies = exact clone vectors
+                # for K>16); 63 keeps every copy distinct to K=63 and is
+                # byte-identical to the old scheme for K<=8
+                roll = c % 63
                 df = df.withColumn(
                     "embedding",
                     F.transform(
