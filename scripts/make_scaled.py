@@ -50,32 +50,24 @@ KEY_COLS = {
 SHARED = ["region", "nation"]
 
 
-def main() -> None:
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .appName("make-scaled")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(DST, exist_ok=True)
+def scale(spark: SparkSession, src: str, dst: str, k: int) -> None:
+    """Write the k× key-offset scale-up of src into dst (see module doc)."""
+    os.makedirs(dst, exist_ok=True)
 
     for t in SHARED:
-        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{DST}/{t}.parquet"
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
         )
         print(f"{t}: shared copy")
 
     vowels = "aeiou"
     for t, keys in KEY_COLS.items():
-        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        base = spark.read.parquet(f"{src}/{t}.parquet")
         parts = []
-        for c in range(K):
+        for c in range(k):
             df = base
-            for k in keys:
-                df = df.withColumn(k, F.col(k) + F.lit(c * STRIDE))
+            for kc in keys:
+                df = df.withColumn(kc, F.col(kc) + F.lit(c * STRIDE))
             if t == "documents" and c > 0:
                 rot = vowels[c % 5] + vowels[(1 + c) % 5] + vowels[(2 + c) % 5] + vowels[
                     (3 + c) % 5
@@ -114,9 +106,21 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-        print(f"{t}: x{K} -> {DST}/{t}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(f"{t}: x{k} -> {dst}/{t}.parquet")
 
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("make-scaled")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    scale(spark, SRC, DST, K)
     spark.stop()
 
 
