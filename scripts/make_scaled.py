@@ -31,10 +31,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5syn"
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-
 STRIDE = 100_000_000  # far above any key in the fixtures
 
 KEY_COLS = {
@@ -120,7 +116,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    scale(spark, SRC, DST, K)
+    # argv parsed here, not at module level: tests import `scale` under
+    # pytest, whose own flags (-x -q) would otherwise hit int(argv[3])
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5syn"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    scale(spark, src, dst, k)
     spark.stop()
 
 
