@@ -214,7 +214,8 @@ from . import pipeline12  # noqa: E402,F401
 # q35-q73's tranche).
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
-    "q167_sorted_neighborhood", "q170_grouped_corr", "q171_benford_audit",
+    "q167_sorted_neighborhood", "q168_psi_drift", "q169_record_linkage",
+    "q170_grouped_corr", "q171_benford_audit", "q172_linear_interp",
     "q174_key_skew_profile",
     "q151_activity_streaks", "q152_pareto_frontier", "q153_mad_outliers",
     "q154_nearest_event_join", "q155_quota_allocation", "q156_group_mode",

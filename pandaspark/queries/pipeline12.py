@@ -331,3 +331,265 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- q168: PSI drift audit ----------------------------------------------------
+#
+# Population Stability Index contributions of the `value` distribution for
+# each event_type against the 'view' baseline, over fixed width-50 bins.
+# The pre-deployment check for any sampler/classifier trained on one slice
+# and applied to another. Per-bin contributions are emitted as ROWS (not
+# summed): a float total would be partition-summation-order-dependent,
+# while each contribution is computed from exact integer counts in one
+# fixed-structure expression — identical in both engines up to libm ln
+# (round4 absorbs the ULP). Scale shape: two 50-row hash aggs and a
+# broadcast-size join on bin — nothing grows with the event count.
+
+_PSI_BASE = "view"
+_PSI_BIN = 50
+
+_Q168_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(value / {_PSI_BIN}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, bin, n,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM b
+),
+base AS (SELECT bin, n AS nb, total AS tb FROM t WHERE event_type = '{_PSI_BASE}')
+SELECT t.event_type, t.bin, t.n,
+       {sql_round4("CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE)")} AS p_cur,
+       {sql_round4("CAST(base.nb AS DOUBLE) / CAST(base.tb AS DOUBLE)")} AS p_base,
+       {sql_round4(
+           "(CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE)"
+           " - CAST(base.nb AS DOUBLE) / CAST(base.tb AS DOUBLE))"
+           " * ln((CAST(t.n AS DOUBLE) / CAST(t.total AS DOUBLE))"
+           "      / (CAST(base.nb AS DOUBLE) / CAST(base.tb AS DOUBLE)))"
+       )} AS psi_contrib
+FROM t JOIN base ON t.bin = base.bin
+"""
+
+
+@register(
+    "q168_psi_drift",
+    _Q168_ORACLE,
+    "per-bin PSI contributions of event value distributions vs the view baseline",
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _PSI_BIN).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # per-type totals re-enter via a keyed window over the ~50-row agg —
+    # bounded by (types x bins), never by the event count
+    t = b.withColumn(
+        "total", F.sum("n").over(Window.partitionBy("event_type")).cast("long")
+    )
+    base = F.broadcast(
+        t.filter(F.col("event_type") == _PSI_BASE).select(
+            "bin", F.col("n").alias("nb"), F.col("total").alias("tb")
+        )
+    )
+    p_cur = F.col("n").cast("double") / F.col("total").cast("double")
+    p_base = F.col("nb").cast("double") / F.col("tb").cast("double")
+    return t.join(base, "bin").select(
+        "event_type",
+        "bin",
+        "n",
+        round4(p_cur).alias("p_cur"),
+        round4(p_base).alias("p_base"),
+        round4((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi_contrib"),
+    )
+
+
+# --- q169: Fellegi-Sunter record linkage --------------------------------------
+#
+# Probabilistic entity resolution between two sources (customer, supplier):
+# block on nation (the classic cheap high-recall blocker), then score each
+# in-block pair with literal log-odds field-agreement weights — numeric name
+# suffix within edit distance 2, account-balance band equality, plus the
+# blocked nation agreement. Distinct from q57 (single-field SymSpell
+# candidate generation) and q167 (sort-order blocking): this is the SCORING
+# half of a linkage pipeline. Score is a fixed-order sum of three literal
+# doubles — exact cross-engine; the 2.0 cutoff sits far from every reachable
+# score value (…, -0.2, 2.3, 2.6, 5.1), so no knife-edge. At 100 TB the
+# block join is an equi-join on nationkey; skewed nations would take q139's
+# salt, measured by q174.
+
+_Q169_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey AS nk,
+         regexp_extract(c_name, '([0-9]{6})$', 1) AS sfx,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, s_nationkey AS nk,
+         regexp_extract(s_name, '([0-9]{6})$', 1) AS sfx,
+         CAST(floor(s_acctbal / 1000) AS BIGINT) AS band
+  FROM supplier
+),
+p AS (
+  SELECT c.c_custkey, s.s_suppkey, c.nk AS nationkey,
+         CAST(levenshtein(c.sfx, s.sfx) AS BIGINT) AS name_lev,
+         CAST(CASE WHEN levenshtein(c.sfx, s.sfx) <= 2 THEN 2.3 ELSE -0.5 END AS DOUBLE)
+         + CAST(CASE WHEN c.band = s.band THEN 1.7 ELSE -0.8 END AS DOUBLE)
+         + CAST(1.1 AS DOUBLE) AS score
+  FROM c JOIN s ON c.nk = s.nk
+)
+SELECT c_custkey, s_suppkey, nationkey, name_lev,
+       floor(score * 10000 + 0.5) / 10000.0 AS score
+FROM p WHERE score >= 2.0
+"""
+
+
+@register(
+    "q169_record_linkage",
+    _Q169_ORACLE,
+    "blocked multi-field Fellegi-Sunter linkage scoring (customer vs supplier)",
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nk"),
+        F.regexp_extract("c_name", "([0-9]{6})$", 1).alias("csfx"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("cband"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nk"),
+        F.regexp_extract("s_name", "([0-9]{6})$", 1).alias("ssfx"),
+        F.floor(F.col("s_acctbal") / 1000).cast("long").alias("sband"),
+    )
+    lev = F.levenshtein(F.col("csfx"), F.col("ssfx"))
+    score = (
+        F.when(lev <= 2, F.lit(2.3)).otherwise(F.lit(-0.5))
+        + F.when(F.col("cband") == F.col("sband"), F.lit(1.7)).otherwise(F.lit(-0.8))
+        + F.lit(1.1)
+    )
+    return (
+        cust.join(F.broadcast(supp), "nk")
+        .withColumn("score", score)
+        .filter(F.col("score") >= 2.0)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.col("nk").alias("nationkey"),
+            lev.cast("long").alias("name_lev"),
+            round4(F.col("score")).alias("score"),
+        )
+    )
+
+
+# --- q172: linear-interpolation gap fill --------------------------------------
+#
+# Per order-priority daily revenue with every missing calendar day filled by
+# linear interpolation between the nearest observed days. The spine comes
+# from per-group min/max + sequence/explode (rows = groups x days, never a
+# cross join); prev/next observations arrive via IGNORE NULLS frames over
+# the GROUP-keyed window. Endpoints are exact integer cents and day offsets
+# are exact integer datediffs, so the one double blend expression is
+# structurally mirrored and bit-identical cross-engine. q76 zero-fills
+# hourly counts; this is the value-interpolation form a forecasting feature
+# pipeline needs.
+
+_Q172_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+spine AS (
+  SELECT prio, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT prio, min(d) AS mn, max(d) AS mx FROM daily GROUP BY prio)
+),
+j AS (
+  SELECT s.prio, s.d, daily.cents,
+         last_value(daily.cents IGNORE NULLS)
+           OVER (PARTITION BY s.prio ORDER BY s.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN daily.cents IS NOT NULL THEN s.d END IGNORE NULLS)
+           OVER (PARTITION BY s.prio ORDER BY s.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(daily.cents IGNORE NULLS)
+           OVER (PARTITION BY s.prio ORDER BY s.d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN daily.cents IS NOT NULL THEN s.d END IGNORE NULLS)
+           OVER (PARTITION BY s.prio ORDER BY s.d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN daily ON daily.prio = s.prio AND daily.d = s.d
+)
+SELECT prio, d,
+       cents IS NOT NULL AS observed,
+       floor((CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+              ELSE CAST(pv AS DOUBLE)
+                   + CAST(nv - pv AS DOUBLE)
+                     * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+              END) / 100.0 * 10000 + 0.5) / 10000.0 AS revenue
+FROM j
+"""
+
+
+@register(
+    "q172_linear_interp",
+    _Q172_ORACLE,
+    "per-priority daily revenue spine with linear interpolation over gaps",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    spine = (
+        daily.groupBy("prio")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "prio",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"),
+        )
+    )
+    j = spine.join(daily, ["prio", "d"], "left")
+    wp = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    j = j.select(
+        "prio",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv").cast("double") + (F.col("nv") - F.col("pv")).cast(
+        "double"
+    ) * (
+        F.datediff(F.col("d"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    val = F.when(F.col("cents").isNotNull(), F.col("cents").cast("double")).otherwise(
+        interp
+    )
+    return j.select(
+        "prio",
+        "d",
+        F.col("cents").isNotNull().alias("observed"),
+        round4(val / 100.0).alias("revenue"),
+    )
