@@ -216,7 +216,8 @@ _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
     "q167_sorted_neighborhood", "q168_psi_drift", "q169_record_linkage",
     "q170_grouped_corr", "q171_benford_audit", "q172_linear_interp",
-    "q174_key_skew_profile",
+    "q173_matryoshka_recall", "q174_key_skew_profile",
+    "q175_shingle_containment",
     "q151_activity_streaks", "q152_pareto_frontier", "q153_mad_outliers",
     "q154_nearest_event_join", "q155_quota_allocation", "q156_group_mode",
     "q157_quantile_normalize", "q158_zorder_layout", "q159_calibration_bins",

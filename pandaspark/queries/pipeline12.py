@@ -593,3 +593,200 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").isNotNull().alias("observed"),
         round4(val / 100.0).alias("revenue"),
     )
+
+
+# --- q173: Matryoshka truncation recall ---------------------------------------
+#
+# How much ANN quality survives truncating 64-dim embeddings to their first
+# 16 dims (the Matryoshka/MRL deployment question: can the cheap prefix
+# serve first-stage retrieval?). Per query: exact top-5 by full-dim cosine
+# vs top-5 by prefix cosine, recall = overlap/5. Both rankings price every
+# (query, doc) pair once off the same broadcast crossJoin — the exact
+# brute-force harness q40/q80 established; at 100 TB the same measurement
+# runs over a sampled query set with the prefix ranking served by q42's
+# LSH buckets. round4'd cosines + vec_id tie-break keep both engines'
+# rankings identical (q40 precedent: sequential double fold ==
+# list_dot_product).
+
+_MRL_NQ = 20  # query vectors: vec_id < 20
+_MRL_K = 5
+_MRL_DIMS = 16
+
+_Q173_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {_MRL_NQ}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+p AS (
+  SELECT qid, vec_id,
+         floor(list_dot_product(qe, ee)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+               * 10000 + 0.5) / 10000.0 AS cf,
+         floor(list_dot_product(qe[1:{_MRL_DIMS}], ee[1:{_MRL_DIMS}])
+               / (sqrt(list_dot_product(qe[1:{_MRL_DIMS}], qe[1:{_MRL_DIMS}]))
+                  * sqrt(list_dot_product(ee[1:{_MRL_DIMS}], ee[1:{_MRL_DIMS}])))
+               * 10000 + 0.5) / 10000.0 AS ct
+  FROM q JOIN e ON vec_id != qid
+),
+r AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id) AS rf,
+         row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id) AS rt
+  FROM p
+)
+SELECT qid,
+       CAST(count(CASE WHEN rf <= {_MRL_K} AND rt <= {_MRL_K} THEN 1 END) AS BIGINT) AS hits,
+       {sql_round4(
+           f"CAST(count(CASE WHEN rf <= {_MRL_K} AND rt <= {_MRL_K} THEN 1 END) AS DOUBLE)"
+           f" / {_MRL_K}.0"
+       )} AS recall
+FROM r GROUP BY qid
+"""
+
+
+@register(
+    "q173_matryoshka_recall",
+    _Q173_ORACLE,
+    "recall@5 of 16-dim prefix cosine ranking vs full 64-dim (MRL truncation)",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _dot, _norm
+
+    e = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
+
+    def cos(a, b):
+        return round4(_dot(a, b) / (_norm(a) * _norm(b)))
+
+    qe, ee = F.col("qe"), F.col("embedding")
+    qt, et = F.slice(qe, 1, _MRL_DIMS), F.slice(ee, 1, _MRL_DIMS)
+    scored = pairs.select(
+        "qid", "vec_id", cos(qe, ee).alias("cf"), cos(qt, et).alias("ct")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("cf").desc(), "vec_id")
+    wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), "vec_id")
+    r = scored.select(
+        "qid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    hit = F.count(
+        F.when((F.col("rf") <= _MRL_K) & (F.col("rt") <= _MRL_K), 1)
+    ).cast("long")
+    return r.groupBy("qid").agg(
+        hit.alias("hits"),
+        round4(hit.cast("double") / float(_MRL_K)).alias("recall"),
+    )
+
+
+# --- q175: shingle containment (superset/subset near-dup) ---------------------
+#
+# Jaccard misses the doc-contains-doc case (a quote-expanded article vs its
+# source scores low because the union is big); CONTAINMENT |A∩B|/|A| is the
+# asymmetric measure that catches it. Runs over the same LSH candidate
+# pairs as q55 — candidate-bounded, never all-pairs — and classifies each
+# pair from the two containment directions. All set sizes are exact
+# integers; the classification compares unrounded exact-ratio doubles, so
+# both engines take identical CASE branches.
+
+from .text import (  # noqa: E402
+    _SHINGLE_K,
+    _minhash_oracle_ctes,
+    _norm_text,
+    minhash_candidates,
+)
+
+_CONT_HI = 0.9
+_CONT_JACC = 0.8
+
+_Q175_ORACLE = _minhash_oracle_ctes() + f""",
+sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, {_SHINGLE_K})
+                        FOR i IN range(1, greatest(length(t) - {_SHINGLE_K - 1}, 1) + 1)]) AS sh
+  FROM norm
+)
+SELECT doc_a, doc_b, jaccard, cont_a, cont_b,
+       CASE WHEN raw_ca >= {_CONT_HI} AND raw_cb >= {_CONT_HI} THEN 'neardup'
+            WHEN raw_ca >= {_CONT_HI} THEN 'a_in_b'
+            WHEN raw_cb >= {_CONT_HI} THEN 'b_in_a'
+            ELSE 'partial' END AS rel
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         {sql_round4(
+             "CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+             " / CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+         )} AS jaccard,
+         {sql_round4(
+             "CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+             " / CAST(length(a.sh) AS DOUBLE)"
+         )} AS cont_a,
+         {sql_round4(
+             "CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+             " / CAST(length(b.sh) AS DOUBLE)"
+         )} AS cont_b,
+         CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(length(a.sh) AS DOUBLE) AS raw_ca,
+         CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(length(b.sh) AS DOUBLE) AS raw_cb
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b)
+"""
+
+
+@register(
+    "q175_shingle_containment",
+    _Q175_ORACLE,
+    "asymmetric containment over LSH candidates: subset/superset classification",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
+    tc = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
+            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
+        )
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # same candidate-bounded verify shape as q55: semi-join BEFORE the
+    # shingle projection, broadcast the candidate-sized array frame
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", _norm_text().alias("t"))
+        .select("doc_id", shingles.alias("sh"))
+    )
+    j = cand.join(
+        F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))),
+        "doc_a",
+    ).join(
+        F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
+    ca = inter / F.size("sa").cast("double")
+    cb = inter / F.size("sb").cast("double")
+    rel = (
+        F.when((ca >= _CONT_HI) & (cb >= _CONT_HI), "neardup")
+        .when(ca >= _CONT_HI, "a_in_b")
+        .when(cb >= _CONT_HI, "b_in_a")
+        .otherwise("partial")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        round4(inter / union).alias("jaccard"),
+        round4(ca).alias("cont_a"),
+        round4(cb).alias("cont_b"),
+        rel.alias("rel"),
+    )
