@@ -78,11 +78,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_complete(df: DataFrame, prefix: str) -> DataFrame:
-    """Drive a bounded stream aggregate to completion into a uniquely-named
-    memory sink (bench/driver call each query repeatedly in one session)."""
+def _run_complete(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+    """Drive a bounded stream to completion into a uniquely-named memory
+    sink (bench/driver call each query repeatedly in one session).
+    Aggregating plans use complete mode; joins/maps append."""
     name = f"{prefix}_{next(_uid)}"
-    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:
@@ -162,3 +163,85 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_complete(agg, "q166_sessions")
+
+
+# --- q176: stream-static broadcast enrichment ---------------------------------
+#
+# The third canonical streaming shape after q165's tumbling windows and
+# q166's session state: a STREAM-STATIC join. Each micro-batch of events
+# joins the static customer dimension (broadcast — the dim is loaded once
+# per batch, never shuffled against the stream) and aggregates daily spend
+# per market segment. On a bounded input this must be byte-identical to the
+# batch join+agg, which is exactly what the oracle replays. At 100 TB the
+# stream side scales with ingest rate while the dim stays a broadcast;
+# state is bounded by open windows x segments (watermark evicts closed
+# days).
+
+_Q176_ORACLE = f"""
+SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_cents_sum('e.value', 'total_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q176_stream_static_join",
+    _Q176_ORACLE,
+    "Structured Streaming stream-static broadcast join + windowed agg vs batch SQL",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    dim = F.broadcast(
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    agg = (
+        e.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("day"), "segment", "n", "total_value")
+    )
+    return _run_complete(agg, "q176_stream_static")
+
+
+# --- q177: stream-stream interval join ----------------------------------------
+#
+# The fourth streaming shape: a STREAM-STREAM join. Each click pairs with
+# the same user's views in the preceding 30 minutes. Both sides carry
+# watermarks and the join bounds event time in both directions, so Spark
+# can evict buffered rows that can never match again — state stays bounded
+# on an unbounded stream. On a bounded replay the pairs must equal the
+# batch interval join, which is exactly q65's oracle (relational3.py:471);
+# registering the streaming plan here makes the join state machinery
+# itself driver-hash-checked, not just pytest-mirrored
+# (tests/test_streaming_multimodal.py asserts stream==batch across
+# micro-batch boundaries for streaming.interval_join).
+
+_Q177_ORACLE = """
+SELECT a.user_id AS user_id, a.event_id AS click_event, b.event_id AS view_event
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+"""
+
+
+@register(
+    "q177_stream_stream_join",
+    _Q177_ORACLE,
+    "Structured Streaming watermarked stream-stream interval join vs batch SQL",
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as S
+
+    pairs = S.interval_join(_event_stream(spark, sf_dir))
+    return _run_complete(pairs, "q177_stream_stream", mode="append")
