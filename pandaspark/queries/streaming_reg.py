@@ -187,19 +187,16 @@ GROUP BY 1, 2
 """
 
 
-@register(
-    "q176_stream_static_join",
-    _Q176_ORACLE,
-    "Structured Streaming stream-static broadcast join + windowed agg vs batch SQL",
-)
-def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q176_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-started streaming plan (exposed so plan gates can assert the
+    dim join broadcasts before the state-store shuffle)."""
     e = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     dim = F.broadcast(
         spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet").select(
             F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
         )
     )
-    agg = (
+    return (
         e.join(dim, "user_id")
         .groupBy(F.window("ts", "1 day").alias("w"), "segment")
         .agg(
@@ -210,7 +207,15 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("day"), "segment", "n", "total_value")
     )
-    return _run_complete(agg, "q176_stream_static")
+
+
+@register(
+    "q176_stream_static_join",
+    _Q176_ORACLE,
+    "Structured Streaming stream-static broadcast join + windowed agg vs batch SQL",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_complete(_q176_frame(spark, sf_dir), "q176_stream_static")
 
 
 # --- q177: stream-stream interval join ----------------------------------------
@@ -235,13 +240,18 @@ FROM events a JOIN events b
 """
 
 
+def _q177_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-started streaming plan (exposed so plan gates can assert the
+    double watermark + event-time-bounded join that keeps state evictable)."""
+    from .. import streaming as S
+
+    return S.interval_join(_event_stream(spark, sf_dir))
+
+
 @register(
     "q177_stream_stream_join",
     _Q177_ORACLE,
     "Structured Streaming watermarked stream-stream interval join vs batch SQL",
 )
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .. import streaming as S
-
-    pairs = S.interval_join(_event_stream(spark, sf_dir))
-    return _run_complete(pairs, "q177_stream_stream", mode="append")
+    return _run_complete(_q177_frame(spark, sf_dir), "q177_stream_stream", mode="append")

@@ -260,3 +260,40 @@ def test_q95_or_predicate_factors_into_both_scans(spark):
     joined = "|".join(b.split("\n")[0] for b in blocks)
     assert "l_quantity" in joined, "lineitem scan lost the quantity bounds"
     assert "p_brand" in joined, "part scan lost the brand/size disjunction"
+
+
+def test_q167_pairing_is_join_free(spark):
+    """Sorted-neighborhood pairing must come from lead() over the block
+    window, never a self-join: the block-equi join form let Spark generate
+    all in-block pairs (quadratic in the hottest block, and it recomputed
+    the regex-normalize scan on both sides — 37s vs 3.3s at sf0.1)."""
+    plan = plan_of(spark, "q167_sorted_neighborhood")
+    assert "Join" not in plan, "q167 regressed to a self-join pairing plan"
+    assert "Window" in plan
+
+
+def _analyzed(df) -> str:
+    # streaming frames reject executedPlan()/optimizedPlan() before
+    # writeStream.start(); the analyzed plan carries what these gates need
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_q176_streaming_dim_join_broadcasts(spark):
+    """The stream-static join must broadcast the dim: shuffling the stream
+    against customer would rebuild an exchange every micro-batch."""
+    from pandaspark.queries.streaming_reg import _q176_frame
+
+    plan = _analyzed(_q176_frame(spark, SF_DIR))
+    assert "broadcast" in plan.lower(), "q176 lost the broadcast hint on the dim side"
+    assert plan.count("EventTimeWatermark") == 1
+
+
+def test_q177_stream_stream_join_state_is_evictable(spark):
+    """Both stream sides must carry watermarks and the join must bound event
+    time in both directions — the two conditions Spark needs to evict
+    buffered rows; without them stream-stream join state grows forever."""
+    from pandaspark.queries.streaming_reg import _q177_frame
+
+    plan = _analyzed(_q177_frame(spark, SF_DIR))
+    assert plan.count("EventTimeWatermark") == 2, "a join side lost its watermark"
+    assert "Join Inner" in plan
