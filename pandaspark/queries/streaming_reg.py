@@ -1,13 +1,13 @@
-"""Streaming-engine registry entries (q165-q166).
+"""Streaming-engine registry entries (q165-q166, q176-q178).
 
-These two queries run the REAL Structured Streaming engine — file-source
-stream, watermark, windowed/session state store, memory sink driven to
-completion with processAllAvailable — and register the result frame
-against the same ANSI oracles the batch forms use (q25's tumbling
-windows, q26's session islands). That makes the streaming path itself
-value-hash-checked by the driver, not just pytest-mirrored: on a bounded
-input, a correct streaming engine must produce byte-identical aggregates
-to the batch plan.
+These queries run the REAL Structured Streaming engine — file-source
+stream, watermark, windowed/session/join/dedup state stores, memory sink
+driven to completion with processAllAvailable — and register the result
+frame against the same ANSI oracles the batch forms use (q25's tumbling
+windows, q26's session islands, q65's interval join, plain DISTINCT).
+That makes the streaming path itself value-hash-checked by the driver,
+not just pytest-mirrored: on a bounded input, a correct streaming engine
+must produce byte-identical results to the batch plan.
 
 Scale shape: the file source lists and splits parquet like the batch
 scan; the windowed aggregate keeps only open-window state (watermark
@@ -255,3 +255,33 @@ def _q177_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(_q177_frame(spark, sf_dir), "q177_stream_stream", mode="append")
+
+
+# --- q178: streaming state-store dedup -----------------------------------------
+#
+# The fifth streaming shape: dropDuplicates through the dedup state store
+# (streaming.dedup_stream — the in-flight form of the reference's
+# fingerprint upsert, SURVEY.md S6/J1). Keyed on (user_id, event_type),
+# where the fixtures carry real duplicates, and projecting ONLY the key so
+# the output is deterministic under any arrival order — exactly DISTINCT.
+# The watermark bounds dedup state at scale: keys older than the watermark
+# are evicted because an at-least-once source can no longer re-deliver
+# them.
+
+_Q178_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register(
+    "q178_stream_dedup",
+    _Q178_ORACLE,
+    "Structured Streaming state-store dropDuplicates vs batch DISTINCT",
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as S
+
+    deduped = S.dedup_stream(
+        _event_stream(spark, sf_dir), keys=["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _run_complete(deduped, "q178_stream_dedup", mode="append")
