@@ -264,3 +264,81 @@ def test_streaming_registry_entries_handle_nanos_fixtures(spark, tmp_path):
     g = {(str(r.bucket), r.event_type): (r.n, r.total_value) for r in got}
     w = {(str(r.bucket), r.event_type): (r.n, r.total_value) for r in want}
     assert g == w and len(g) > 0
+
+
+def test_new_streaming_entries_match_batch_on_nanos_fixture(spark, tmp_path):
+    """q176/q177/q178 share _event_stream's two-generation ts dispatch with
+    q165 — assert each equals its batch mirror on an int64-nanos fixture
+    (join against the static dim, interval pairs, DISTINCT keys)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandaspark.queries import load as qload
+
+    # all 1000 sf0.001 events: the interval join's pairs are rare, and a
+    # prefix slice could leave the q177 check vacuous
+    rows = qload(spark, SF_DIR, "events").collect()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r.event_id for r in rows], pa.int64()),
+            "ts": pa.array([r.ts for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r.user_id for r in rows], pa.int64()),
+            "event_type": pa.array([r.event_type for r in rows], pa.string()),
+            "value": pa.array([r.value for r in rows], pa.float64()),
+            "props": pa.array([r.props for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "nanos_sf"
+    (d / "events.parquet").mkdir(parents=True)
+    pq.write_table(tbl, str(d / "events.parquet" / "part-0.parquet"), version="2.6")
+    shutil.copy(f"{SF_DIR}/customer.parquet", d / "customer.parquet")
+
+    ev = qload(spark, str(d), "events")
+
+    got176 = REGISTRY["q176_stream_static_join"].fn(spark, str(d)).collect()
+    cust = spark.read.parquet(f"{d}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    want176 = (
+        ev.join(cust, "user_id")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("tv"),
+        )
+        .collect()
+    )
+    g = {(str(r.day), r.segment): (r.n, r.total_value) for r in got176}
+    w = {(str(r.day), r.segment): (r.n, r.tv) for r in want176}
+    assert g == w and len(g) > 0
+
+    got177 = {
+        (r.user_id, r.click_event, r.view_event)
+        for r in REGISTRY["q177_stream_stream_join"].fn(spark, str(d)).collect()
+    }
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("ce"), F.col("ts").alias("cts")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("ve"), F.col("ts").alias("vts")
+    )
+    want177 = {
+        (r.user_id, r.ce, r.ve)
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("vts") <= F.col("cts")),
+        ).collect()
+    }
+    assert got177 == want177 and len(got177) > 0
+
+    got178 = {
+        (r.user_id, r.event_type)
+        for r in REGISTRY["q178_stream_dedup"].fn(spark, str(d)).collect()
+    }
+    want178 = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got178 == want178 and len(got178) > 0
