@@ -215,6 +215,7 @@ from . import pipeline12  # noqa: E402,F401
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
     "q176_stream_static_join", "q177_stream_stream_join", "q178_stream_dedup",
+    "q179_stream_cdc",
     "q167_sorted_neighborhood", "q168_psi_drift", "q169_record_linkage",
     "q170_grouped_corr", "q171_benford_audit", "q172_linear_interp",
     "q173_matryoshka_recall", "q174_key_skew_profile",

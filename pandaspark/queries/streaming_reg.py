@@ -1,4 +1,4 @@
-"""Streaming-engine registry entries (q165-q166, q176-q178).
+"""Streaming-engine registry entries (q165-q166, q176-q179).
 
 These queries run the REAL Structured Streaming engine — file-source
 stream, watermark, windowed/session/join/dedup state stores, memory sink
@@ -285,3 +285,90 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         _event_stream(spark, sf_dir), keys=["user_id", "event_type"]
     ).select("user_id", "event_type")
     return _run_complete(deduped, "q178_stream_dedup", mode="append")
+
+
+# --- q179: streaming CDC apply through the versioned store ---------------------
+#
+# The sixth streaming shape, and the one that drives the SINK machinery:
+# events become a change feed on user_id ('error' = tombstone, anything
+# else = upsert), range-partitioned by ts into four files and streamed one
+# file per micro-batch, so stream_cdc_apply's foreachBatch path runs the
+# real multi-batch protocol — within-batch latest-per-key reduction,
+# merge_into (UPDATE / DELETE-tombstone / INSERT), and the crash-safe
+# snapshot commit that batch N+1 reads back. Final state is a function of
+# each user's LAST change only, which is exactly what the oracle replays;
+# the range partitioning keeps each user's changes ordered across batches
+# the way an ordered CDC log (binlog/WAL position) is in production.
+# Reference semantic: the import loop's ON CONFLICT upsert
+# (/root/reference/panda.py:713-728), here as live exactly-once streaming.
+
+_Q179_ORACLE = """
+WITH latest AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM latest WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "q179_stream_cdc",
+    _Q179_ORACLE,
+    "foreachBatch CDC apply (upsert/tombstone + atomic snapshot commits) vs latest-per-key SQL",
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import load
+    from .. import streaming as S
+
+    work = tempfile.mkdtemp(prefix="q179_cdc_")
+    feed_dir, store_dir, ckpt = f"{work}/feed", f"{work}/store", f"{work}/ckpt"
+    feed = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+        # ascending ts ranges -> lexicographic part files -> the stream
+        # replays each user's changes in commit order across micro-batches
+        .repartitionByRange(4, "ts")
+    )
+    feed.write.mode("overwrite").parquet(feed_dir)
+    # FileStreamSource replays files OLDEST-MTIME-FIRST, and the parallel
+    # write stamps task-completion mtimes (random order) — restamp so the
+    # mtime order equals the lexicographic (= ascending-ts-range) order,
+    # like an ordered CDC log's commit positions
+    import glob
+    import os
+
+    parts = sorted(glob.glob(f"{feed_dir}/part-*"))
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    change_stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = S.stream_cdc_apply(change_stream, store_dir, ckpt, key="user_id", ts_col="ts")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from ..store import latest_commit_path
+
+    final = spark.read.parquet(latest_commit_path(spark, store_dir))
+    return final.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
