@@ -519,3 +519,184 @@ def test_q161_drawdown_matches_python_reference(spark, tmp_path_factory, events)
             dd = max(dd, peak - cum)
         expect[u] = (peak / 100.0, dd / 100.0, cum / 100.0)
     assert got == expect
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="ab 1!.X", min_size=0, max_size=24),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q167_pairing_equals_naive_block_window(spark, tmp_path_factory, texts):
+    """The lead()-over-window pairing must equal the naive definition:
+    within each 3-char block of normalized text, sorted by (40-char key,
+    doc_id), pair each row with the <=5 that follow, keep lev(pfx)<=20."""
+    import re
+
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("snprop")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b, r.block, r.lev)
+        for r in REGISTRY["q167_sorted_neighborhood"].fn(spark, str(tmp)).collect()
+    }
+    norm = {
+        i: re.sub(r"[^a-z0-9 ]", "", t.lower()).strip() for i, t in rows
+    }
+    by_block = {}
+    for i, n in norm.items():
+        by_block.setdefault(n[:3], []).append((n[:40], i))
+    expect = set()
+    for block, members in by_block.items():
+        members.sort()
+        for p in range(len(members)):
+            for q in range(p + 1, min(p + 6, len(members))):
+                a, b = members[p][1], members[q][1]
+                d = _lev(norm[a][:80], norm[b][:80])
+                if d <= 20:
+                    expect.add((a, b, block, d))
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH"]),
+            st.integers(min_value=0, max_value=20),  # day offset (gaps ok)
+            st.integers(min_value=1, max_value=10**7),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q180_rolling_median_matches_python_reference(spark, tmp_path_factory, orders):
+    import datetime as _dt
+    from collections import defaultdict
+
+    from pandaspark.queries import REGISTRY
+
+    base = _dt.date(2024, 1, 1)
+    rows = [
+        (i, p, base + _dt.timedelta(days=d), c / 100.0)
+        for i, (p, d, c) in enumerate(orders)
+    ]
+    tmp = tmp_path_factory.mktemp("rmprop")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    got = {
+        (r.prio, str(r.d)): (r.n_days, r.med_rev)
+        for r in REGISTRY["q180_rolling_median"].fn(spark, str(tmp)).collect()
+    }
+    daily = defaultdict(int)
+    for p, d, c in orders:
+        daily[(p, d)] += c
+    expect = {}
+    for p in {p for p, *_ in orders}:
+        days = sorted(d for (p2, d) in daily if p2 == p)
+        for ix, d in enumerate(days):
+            frame = sorted(daily[(p, d2)] for d2 in days[max(0, ix - 6) : ix + 1])
+            n = len(frame)
+            med = (
+                float(frame[(n - 1) // 2])
+                if n % 2 == 1
+                else (float(frame[n // 2 - 1]) + float(frame[n // 2])) / 2.0
+            )
+            expect[(p, str(base + __import__("datetime").timedelta(days=d)))] = (
+                n,
+                med / 100.0,
+            )
+    assert got == expect
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # user
+            st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+            st.integers(min_value=0, max_value=10**6),  # value millis
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=5),  # number of micro-batch files
+)
+def test_stream_cdc_apply_equals_replay_for_any_split(
+    spark, tmp_path_factory, changes, k
+):
+    """The q179 machinery generically: ANY split of a ts-ordered change
+    feed into k micro-batches (ascending mtimes) must converge to the
+    dict-replay state — last change per key wins, delete = absent."""
+    import datetime as _dt
+    import os
+
+    from pandaspark import streaming as S
+    from pandaspark.store import latest_commit_path
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + _dt.timedelta(minutes=i), op, v / 1000.0)
+        for i, (u, op, v) in enumerate(changes)
+    ]
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    feed_dir, store_dir, ckpt = str(tmp / "feed"), str(tmp / "store"), str(tmp / "ckpt")
+    os.makedirs(feed_dir)
+    # contiguous ts-ordered slices -> per-key order preserved across batches
+    cuts = [round(len(rows) * j / k) for j in range(k + 1)]
+    schema = "user_id long, ts timestamp, op string, value double"
+    nfiles = 0
+    for j in range(k):
+        part = rows[cuts[j] : cuts[j + 1]]
+        if not part:
+            continue
+        sub = str(tmp / f"stage{j}")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(f for f in os.listdir(sub) if f.startswith("part-"))
+        dst = f"{feed_dir}/batch-{j:03d}.parquet"
+        os.rename(f"{sub}/{src}", dst)
+        os.utime(dst, (1_700_000_000 + 10 * j, 1_700_000_000 + 10 * j))
+        nfiles += 1
+    feed_schema = spark.read.parquet(feed_dir).schema
+    cs = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = S.stream_cdc_apply(cs, store_dir, ckpt, key="user_id", ts_col="ts")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (str(r.ts), r.value)
+        for r in spark.read.parquet(latest_commit_path(spark, store_dir)).collect()
+    }
+    state = {}
+    for u, ts, op, v in rows:
+        if op == "delete":
+            state.pop(u, None)
+            # a tombstone for an absent key stays absent; for a present
+            # key it must also survive as absent even if re-deleted
+        else:
+            state[u] = (str(ts), v)
+    assert got == state
