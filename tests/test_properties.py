@@ -700,3 +700,137 @@ def test_stream_cdc_apply_equals_replay_for_any_split(
         else:
             state[u] = (str(ts), v)
     assert got == state
+
+
+# --- tranche 14: probabilistic-structure invariants --------------------------
+
+from .conftest import SF_DIR  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # user_id (small → collisions)
+            st.sampled_from(["view", "click", "error"]),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_q181_cms_one_sided_error(spark, tmp_path_factory, events):
+    """The Count-Min guarantee, on arbitrary event streams: the sketch
+    NEVER undercounts (min over d buckets >= true count), and the exact
+    side of the report is the true counter."""
+    from collections import Counter
+
+    from pandaspark.queries import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(events)
+    ]
+    tmp = tmp_path_factory.mktemp("cmsprop")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = REGISTRY["q181_cms_heavy_hitters"].fn(spark, str(tmp)).collect()
+    true = Counter(u for u, _ in events)
+    assert got, "report empty"
+    for r in got:
+        assert r.exact_cnt == true[r.user_id]
+        assert r.cms_est >= r.exact_cnt, "CMS undercounted — impossible"
+        assert r.overcount == r.cms_est - r.exact_cnt
+
+
+def test_q182_hll_exactness_anchors(spark, ddb):
+    """Fixture anchors for the portable HLL: the exact-NDV column is truly
+    exact (vs DuckDB) and the REGISTERS are right. q182 deliberately emits
+    the raw estimator (no linear-counting correction — ln() isn't
+    correctly-rounded libm, see the module docstring), so below the
+    small-range threshold (ndv <= 2.5m, where raw HLL is known-biased) we
+    validate the registers through linear counting computed HERE in
+    Python — m*ln(m/zero_registers) must land near the exact NDV; above
+    the threshold the raw estimate must sit in a 5-sigma 1.04/sqrt(m)
+    band. Wrong register math fails both arms."""
+    import math
+
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline14 import _HLL_M
+
+    got = {r.event_type: r for r in REGISTRY["q182_hll_distinct"].fn(spark, SF_DIR).collect()}
+    want = dict(
+        ddb.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    band = 5 * 1.04 / (_HLL_M ** 0.5)
+    for et, r in got.items():
+        assert r.exact_ndv == want[et]
+        assert 0 < r.n_regs_hit <= _HLL_M
+        if r.exact_ndv <= 2.5 * _HLL_M:
+            assert r.n_regs_hit < _HLL_M, "small range but all registers hit"
+            lc = _HLL_M * math.log(_HLL_M / (_HLL_M - r.n_regs_hit))
+            assert abs(lc / r.exact_ndv - 1) <= 0.35, (et, lc, r.exact_ndv)
+        else:
+            assert abs(r.rel_err) <= band, (et, r.rel_err)
+
+
+def test_q183_bloom_has_no_false_negatives(spark):
+    """Bloom's hard guarantee: every true member is bloom-positive, i.e.
+    bloom_positives minus false positives must equal the member count."""
+    from pandaspark.queries import REGISTRY
+
+    [r] = REGISTRY["q183_bloom_audit"].fn(spark, SF_DIR).collect()
+    assert r.n_true_members > 0 and r.n_probed > r.n_true_members
+    assert r.n_bloom_pos - r.n_false_pos == r.n_true_members
+    assert 0.0 <= r.fp_rate < 1.0
+
+
+def test_q184_pairs_share_a_real_substring(spark, ddb):
+    """Soundness of the winnowed-fingerprint join: every reported pair
+    actually shares a full 8-char substring of normalized text (a shared
+    sha-derived fingerprint implies a shared gram absent collisions; this
+    verifies end-to-end against the raw text)."""
+    import re
+
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline14 import _WG_K, _WG_SHARED_MIN
+
+    pairs = REGISTRY["q184_substring_overlap"].fn(spark, SF_DIR).collect()
+    assert pairs, "no overlap pairs at sf0.001 — test would be vacuous"
+    texts = {
+        i: re.sub(r"\s+", " ", t.lower()).strip()
+        for i, t in ddb.execute(
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+        ).fetchall()
+    }
+    for r in pairs:
+        a, b = texts[r.doc_a], texts[r.doc_b]
+        grams_a = {a[i : i + _WG_K] for i in range(len(a) - _WG_K + 1)}
+        grams_b = {b[i : i + _WG_K] for i in range(len(b) - _WG_K + 1)}
+        assert r.shared_fp >= _WG_SHARED_MIN
+        assert grams_a & grams_b, (r.doc_a, r.doc_b)
+
+
+def test_q185_folds_partition_bag_groups(spark, ddb):
+    """Leakage safety: the folds partition both documents AND bag groups —
+    summing per-fold group counts must equal the corpus-wide distinct-bag
+    count (a bag straddling two folds would be counted twice)."""
+    from pandaspark.queries import REGISTRY
+
+    rows = REGISTRY["q185_leakage_safe_split"].fn(spark, SF_DIR).collect()
+    (n_docs, n_bags) = ddb.execute(
+        """
+SELECT count(*), count(DISTINCT sha256(array_to_string(list_sort(list_distinct(
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), ' ')))
+FROM documents WHERE text IS NOT NULL
+"""
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_groups for r in rows) == n_bags
+    assert {r.fold for r in rows} <= set(range(5))
