@@ -219,7 +219,8 @@ from . import pipeline14  # noqa: E402,F401
 # (fresh process, default + Asia/Tokyo TZ) as of r4/r5.
 _VERIFY_FIRST = [
     # (0) never seen by r01-r03 AND outside r04's likely budget — newest
-    # first, oldest-added last (q181-q185 are round-5 additions)
+    # first, oldest-added last (q181-q187 are round-5 additions)
+    "q186_expectations_suite", "q187_cms_join_size",
     "q181_cms_heavy_hitters", "q182_hll_distinct", "q183_bloom_audit",
     "q184_substring_overlap", "q185_leakage_safe_split",
     "q130_curriculum", "q129_negative_sampling", "q128_pit_join",

@@ -479,3 +479,132 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- q186: data-quality expectations suite ----------------------------------
+
+_Q186_ORACLE = """
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+              + count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS v_pk,
+         CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS v_cust,
+         CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS v_status,
+         CAST(count(*) FILTER (o_totalprice IS NOT NULL
+              AND o_totalprice < 0) AS BIGINT) AS v_price,
+         CAST(count(*) FILTER (o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT)
+           AS v_prio
+  FROM orders
+),
+l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (l_quantity IS NOT NULL
+              AND l_quantity NOT BETWEEN 1 AND 50) AS BIGINT) AS v_qty,
+         CAST(count(*) FILTER (l_discount IS NOT NULL
+              AND l_discount NOT BETWEEN 0.0 AND 0.1) AS BIGINT) AS v_disc,
+         CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS v_ship
+  FROM lineitem
+)
+SELECT 'pk_orderkey' AS check_name, 'o_orderkey' AS col_name,
+       n AS n_rows, v_pk AS n_violations, v_pk = 0 AS passed FROM o
+UNION ALL SELECT 'custkey_present', 'o_custkey', n, v_cust, v_cust = 0 FROM o
+UNION ALL SELECT 'status_domain', 'o_orderstatus', n, v_status, v_status = 0 FROM o
+UNION ALL SELECT 'price_nonneg', 'o_totalprice', n, v_price, v_price = 0 FROM o
+UNION ALL SELECT 'priority_format', 'o_orderpriority', n, v_prio, v_prio = 0 FROM o
+UNION ALL SELECT 'qty_range', 'l_quantity', n, v_qty, v_qty = 0 FROM l
+UNION ALL SELECT 'discount_range', 'l_discount', n, v_disc, v_disc = 0 FROM l
+UNION ALL SELECT 'shipdate_present', 'l_shipdate', n, v_ship, v_ship = 0 FROM l
+"""
+
+
+@register(
+    "q186_expectations_suite",
+    _Q186_ORACLE,
+    "Deequ-style declarative quality checks, one aggregate pass per table",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandaspark.expectations import Check, compile_suite
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_checks = [
+        Check("pk_orderkey", "o_orderkey", "unique"),
+        Check("custkey_present", "o_custkey", "not_null"),
+        Check("status_domain", "o_orderstatus", "accepted_values", values=("O", "F", "P")),
+        Check("price_nonneg", "o_totalprice", "non_negative"),
+        Check("priority_format", "o_orderpriority", "matches", pattern="^[1-5]-"),
+    ]
+    l_checks = [
+        Check("qty_range", "l_quantity", "in_range", lo=1, hi=50),
+        Check("discount_range", "l_discount", "in_range", lo=0.0, hi=0.1),
+        Check("shipdate_present", "l_shipdate", "not_null"),
+    ]
+    return compile_suite(o, o_checks).unionByName(compile_suite(li, l_checks))
+
+
+# --- q187: CMS inner product = self-join size (F2) estimate -----------------
+
+_Q187_ORACLE = f"""
+WITH li AS (SELECT l_partkey FROM lineitem),
+rows_j AS (
+  SELECT hj,
+         {sql_sha_int("CAST(hj AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)")}
+           % {_CMS_W} AS bucket
+  FROM li CROSS JOIN (SELECT unnest(range({_CMS_D})) AS hj)
+),
+sketch AS (SELECT hj, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM rows_j GROUP BY hj, bucket),
+est AS (SELECT min(s2) AS cms_f2
+        FROM (SELECT hj, sum(cnt * cnt) AS s2 FROM sketch GROUP BY hj)),
+exact AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+          FROM (SELECT count(*) AS c FROM li GROUP BY l_partkey))
+SELECT exact_f2,
+       CAST(cms_f2 AS BIGINT) AS cms_f2,
+       CAST(cms_f2 - exact_f2 AS BIGINT) AS overshoot,
+       {sql_round4('(cms_f2 - exact_f2) / CAST(exact_f2 AS DOUBLE)')}
+         AS rel_overshoot
+FROM est CROSS JOIN exact
+"""
+
+
+@register(
+    "q187_cms_join_size",
+    _Q187_ORACLE,
+    "self-join size (F2) estimated from the CMS inner product vs exact — the CBO cardinality primitive",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based-optimizer cardinality primitive: |A self-join on k| =
+    sum_k cnt(k)^2 (the second frequency moment), estimated from the CMS
+    row inner products (min over d rows of sum_b cnt^2 — one-sided
+    overestimate from collision cross-terms). Sketch state is d*w counters
+    regardless of input; at 100 TB the estimate costs one map-side-
+    combinable count plus arithmetic on 256 numbers."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    hashed = spread(li).select(
+        F.explode(_cms_buckets(F.col("l_partkey"))).alias("jb")
+    )
+    sketch = (
+        hashed.select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est = (
+        sketch.groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
+        .agg(F.min("s2").alias("cms_f2"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_f2",
+        F.col("cms_f2").cast("long").alias("cms_f2"),
+        (F.col("cms_f2") - F.col("exact_f2")).cast("long").alias("overshoot"),
+        round4(
+            (F.col("cms_f2") - F.col("exact_f2")) / F.col("exact_f2").cast("double")
+        ).alias("rel_overshoot"),
+    )
