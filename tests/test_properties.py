@@ -834,3 +834,65 @@ FROM documents WHERE text IS NOT NULL
     assert sum(r.n_docs for r in rows) == n_docs
     assert sum(r.n_groups for r in rows) == n_bags
     assert {r.fold for r in rows} <= set(range(5))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=8)),  # id (dups + nulls)
+            st.one_of(st.none(), st.floats(min_value=-50, max_value=50, allow_nan=False)),
+            st.one_of(st.none(), st.sampled_from(["O", "F", "P", "X", "zz"])),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_expectations_counts_match_python_recount(spark, rows):
+    """The compiled single-pass suite must count violations exactly as a
+    row-by-row Python recount does, for every check kind, on arbitrary
+    data including nulls and duplicate keys."""
+    from pandaspark.expectations import Check, compile_suite
+
+    df = spark.createDataFrame(rows, "id long, val double, status string")
+    checks = [
+        Check("pk", "id", "unique"),
+        Check("id_present", "id", "not_null"),
+        Check("val_nonneg", "val", "non_negative"),
+        Check("val_range", "val", "in_range", lo=-10.0, hi=10.0),
+        Check("status_domain", "status", "accepted_values", values=("O", "F", "P")),
+    ]
+    got = {r.check_name: r.n_violations for r in compile_suite(df, checks).collect()}
+    ids = [r[0] for r in rows]
+    nn = [i for i in ids if i is not None]
+    want = {
+        "pk": (len(nn) - len(set(nn))) + (len(ids) - len(nn)),
+        "id_present": sum(1 for i in ids if i is None),
+        "val_nonneg": sum(1 for r in rows if r[1] is not None and r[1] < 0),
+        "val_range": sum(1 for r in rows if r[1] is not None and not (-10.0 <= r[1] <= 10.0)),
+        "status_domain": sum(1 for r in rows if r[2] is not None and r[2] not in ("O", "F", "P")),
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=400)
+)
+def test_q187_cms_f2_never_undershoots(spark, tmp_path_factory, keys):
+    """The CMS inner-product estimate of the self-join size is a one-sided
+    OVERestimate (collision cross-terms only add), and the exact side is
+    the true second frequency moment — on arbitrary key streams."""
+    from collections import Counter
+
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("cmsf2")
+    spark.createDataFrame([(k,) for k in keys], "l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "lineitem.parquet"))
+    [r] = REGISTRY["q187_cms_join_size"].fn(spark, str(tmp)).collect()
+    true_f2 = sum(c * c for c in Counter(keys).values())
+    assert r.exact_f2 == true_f2
+    assert r.cms_f2 >= true_f2, "CMS F2 undershot — impossible"
+    assert r.overshoot == r.cms_f2 - r.exact_f2
