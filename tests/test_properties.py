@@ -896,3 +896,132 @@ def test_q187_cms_f2_never_undershoots(spark, tmp_path_factory, keys):
     assert r.exact_f2 == true_f2
     assert r.cms_f2 >= true_f2, "CMS F2 undershot — impossible"
     assert r.overshoot == r.cms_f2 - r.exact_f2
+
+
+# --- tranche 15: lakehouse/optimizer primitives -------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code", "wiki"]),  # source
+            st.sampled_from(["en", "de", "fr"]),                # lang
+            st.integers(min_value=1, max_value=30_000),         # n_chars
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q188_bins_cover_exactly_and_fill(spark, tmp_path_factory, docs):
+    """The compaction plan is a partition of the manifest: bin totals sum
+    to the corpus total, file counts sum to the file count, and every bin
+    except possibly the last (in fill order) starts below one target of
+    cumulative slack (sorted-fill invariant: a file opens bin b only when
+    the exclusive prefix sum has crossed b*target)."""
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline15 import _BIN_TARGET
+
+    tmp = tmp_path_factory.mktemp("binsprop")
+    rows = [(i, "t", lang, src, n) for i, (src, lang, n) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = REGISTRY["q188_compaction_bins"].fn(spark, str(tmp)).collect()
+
+    from collections import defaultdict
+
+    files = defaultdict(lambda: [0, 0])
+    for src, lang, n in docs:
+        files[(src, lang)][0] += n
+        files[(src, lang)][1] += 1
+    total_bytes = sum(v[0] for v in files.values())
+    assert sum(r.bin_bytes for r in got) == total_bytes
+    assert sum(r.n_files for r in got) == len(files)
+    assert sum(r.n_docs for r in got) == len(docs)
+    # python replay of the sorted fill must give identical bin ids
+    order = sorted(files.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    cum, want_bins = 0, defaultdict(int)
+    for (_, _), (b, _) in order:
+        want_bins[cum // _BIN_TARGET] += 1
+        cum += b
+    assert {r.bin_id: r.n_files for r in got} == dict(want_bins)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=150),
+    st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=150),
+)
+def test_q189_join_size_never_undershoots(spark, tmp_path_factory, users, custs):
+    """CMS inner product >= true join size on arbitrary key streams, and
+    the exact audit column is the true join cardinality."""
+    import datetime as dt
+    from collections import Counter
+
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("jsizeprop")
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, base, u, "view", 1.0, "{}") for i, u in enumerate(users)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    spark.createDataFrame(
+        [(i, c, "O", 1.0, dt.date(2024, 1, 1), "1-URGENT") for i, c in enumerate(custs)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    [r] = REGISTRY["q189_join_size_estimate"].fn(spark, str(tmp)).collect()
+    cu, cc = Counter(users), Counter(custs)
+    true = sum(cu[k] * cc[k] for k in cu.keys() & cc.keys())
+    assert r.exact_join_size == (true if true else None) or r.exact_join_size == true
+    if true:
+        assert r.cms_join_size >= true, "CMS inner product undershot — impossible"
+        assert r.overshoot == r.cms_join_size - r.exact_join_size
+
+
+def test_q190_advisor_picks_smaller_intermediate(spark, ddb):
+    """On the fixture the FK estimates are exact and rank 1 must be the
+    order whose estimated first intermediate is smaller."""
+    from pandaspark.queries import REGISTRY
+
+    rows = {r.join_order: r for r in REGISTRY["q190_join_order_advisor"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 2
+    best = min(rows.values(), key=lambda r: (r.est_cost, r.join_order))
+    assert best.cost_rank == 1
+    # FK joins: true intermediates from DuckDB
+    t_oc = ddb.execute(
+        "SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey"
+        " WHERE o.o_orderstatus='F'"
+    ).fetchone()[0]
+    assert rows["(customer x orders) x lineitem"].true_intermediate == t_oc
+
+
+def test_q191_checksum_is_order_and_layout_independent(spark, tmp_path_factory):
+    """The Merkle root must be identical for the same logical rows under a
+    different row order and partition count, and must CHANGE when one row
+    value changes."""
+    from pandaspark.queries import REGISTRY
+
+    fn = REGISTRY["q191_merkle_checksum"].fn
+    [base] = fn(spark, SF_DIR).collect()
+
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    tmp1 = tmp_path_factory.mktemp("mk_shuffled")
+    src.orderBy(F.desc("o_totalprice")).repartition(7).write.mode("overwrite").parquet(
+        str(tmp1 / "orders.parquet")
+    )
+    [shuf] = fn(spark, str(tmp1)).collect()
+    assert shuf.root_hash == base.root_hash
+    assert shuf.n_rows == base.n_rows
+
+    tmp2 = tmp_path_factory.mktemp("mk_mutated")
+    src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == src.agg(F.min("o_orderkey")).collect()[0][0],
+               F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")),
+    ).write.mode("overwrite").parquet(str(tmp2 / "orders.parquet"))
+    [mut] = fn(spark, str(tmp2)).collect()
+    assert mut.root_hash != base.root_hash
