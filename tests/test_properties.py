@@ -1025,3 +1025,130 @@ def test_q191_checksum_is_order_and_layout_independent(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(str(tmp2 / "orders.parquet"))
     [mut] = fn(spark, str(tmp2)).collect()
     assert mut.root_hash != base.root_hash
+
+
+# --- tranche 16: profiling / splits / IVM -------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3", "s4"]),   # source (determinant)
+            st.sampled_from(["en", "de", "fr"]),          # lang (dependent)
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_q192_repair_rows_match_python_recount(spark, tmp_path_factory, pairs):
+    """The minimal-repair metric: for FD source->lang, repair_rows must
+    equal sum over determinant groups of (group size - majority count),
+    and holds iff no group has two distinct dependents."""
+    from collections import Counter, defaultdict
+
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("fdprop")
+    rows = [(i, "t", lang, src, 1) for i, (src, lang) in enumerate(pairs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    # the other FD candidates need orders/lineitem — give them tiny clean tables
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, None, "1-U")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    got = {r.fd: r for r in REGISTRY["q192_fd_discovery"].fn(spark, str(tmp)).collect()}
+    r = got["documents.source->lang"]
+    by_src = defaultdict(list)
+    for src, lang in pairs:
+        by_src[src].append(lang)
+    want_repair = sum(len(v) - Counter(v).most_common(1)[0][1] for v in by_src.values())
+    want_violating = sum(1 for v in by_src.values() if len(set(v)) > 1)
+    assert r.n_groups == len(by_src)
+    assert r.violating_groups == want_violating
+    assert r.repair_rows == want_repair
+    assert r.holds == (want_violating == 0)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=29 * 24 * 3600 - 1),  # offsets in Jan 2024
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_q193_purge_and_masses_match_recount(spark, tmp_path_factory, offsets):
+    """Per fold: train/purged/test masses match a Python recount against
+    the fold cutoffs, and whenever both sides are non-empty the realized
+    gap is >= the embargo (purge correctness)."""
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline16 import _CUTOFFS, _EMBARGO_S
+
+    base = dt.datetime(2024, 1, 1)
+    stamps = [base + dt.timedelta(seconds=o) for o in offsets]
+    tmp = tmp_path_factory.mktemp("purgeprop")
+    spark.createDataFrame(
+        [(i, t, 1, "view", 1.0, "{}") for i, t in enumerate(stamps)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {r.fold: r for r in REGISTRY["q193_purged_split"].fn(spark, str(tmp)).collect()}
+    cuts = [dt.datetime.fromisoformat(c) for c in _CUTOFFS]
+    for i, cut in enumerate(cuts):
+        lo = cut - dt.timedelta(seconds=_EMBARGO_S)
+        hi = cuts[i + 1] if i + 1 < len(cuts) else None
+        train = [t for t in stamps if t < lo]
+        purged = [t for t in stamps if lo <= t < cut]
+        test = [t for t in stamps if t >= cut and (hi is None or t < hi)]
+        r = got[i]
+        assert (r.n_train, r.n_purged, r.n_test) == (len(train), len(purged), len(test))
+        if train and test:
+            assert r.gap_seconds >= _EMBARGO_S
+            assert r.embargo_ok
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),       # orderkey
+            st.integers(min_value=1, max_value=7),        # linenumber
+            st.integers(min_value=1, max_value=50),       # quantity
+            st.sampled_from(["A", "N", "R"]),             # returnflag
+        ),
+        min_size=1,
+        max_size=250,
+    )
+)
+def test_q194_merge_always_equals_recompute(spark, tmp_path_factory, items):
+    """The IVM monoid law on arbitrary inputs: merged base+delta partials
+    must equal the full recompute for every group — `consistent` is True
+    on every output row."""
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("ivmprop")
+    rows = [
+        (ok, 1, 1, ln, float(q), q * 10.0, 0.0, 0.0, rf, "O", None)
+        for (ok, ln, q, rf) in items
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    out = REGISTRY["q194_ivm_merge"].fn(spark, str(tmp)).collect()
+    assert out
+    assert all(r.consistent for r in out)
+    assert sum(r.n_full for r in out) == len(rows)
