@@ -1152,3 +1152,105 @@ def test_q194_merge_always_equals_recompute(spark, tmp_path_factory, items):
     assert out
     assert all(r.consistent for r in out)
     assert sum(r.n_full for r in out) == len(rows)
+
+
+# --- tranche 17: distributed retrieval / storage advisor ----------------------
+
+
+def _sha_int_py(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=60),   # orderkey
+            st.integers(min_value=1, max_value=7),    # linenumber
+            st.integers(min_value=1, max_value=30),   # partkey
+            st.integers(min_value=1, max_value=50),   # quantity
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_q195_certificate_implies_exactness(spark, tmp_path_factory, items):
+    """The TA guarantee on arbitrary inputs: the exact top-k matches a
+    Python recount, and whenever the certificate holds the pruned answer
+    agrees with the exact one on every rank."""
+    from collections import Counter
+
+    from pandaspark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("taprop")
+    rows = [
+        (ok, pk, 1, ln, float(q), 1.0, 0.0, 0.0, "N", "O", None)
+        for (ok, ln, pk, q) in items
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    got = sorted(
+        REGISTRY["q195_threshold_topk"].fn(spark, str(tmp)).collect(),
+        key=lambda r: r.rank,
+    )
+    totals = Counter()
+    for ok, ln, pk, q in items:
+        totals[pk] += q
+    want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert [(r.l_partkey, r.exact_total) for r in got] == want
+    if got and got[0].certificate_ok:
+        assert all(r.pruned_agrees for r in got)
+
+
+def test_q196_registers_and_exact_match_python(spark, ddb):
+    """The sliding HLL on the fixture: exact sliding NDV matches a Python
+    recount, and the estimate matches the Python-evaluated dyadic-exact
+    register formula bit-for-bit."""
+    from collections import defaultdict
+
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline17 import _HLL_M, _WIN_DAYS
+
+    got = {r.day: r for r in REGISTRY["q196_hll_sliding_distinct"].fn(spark, SF_DIR).collect()}
+    rows = ddb.execute("SELECT CAST(ts AS DATE), user_id FROM events").fetchall()
+    by_day = defaultdict(set)
+    for day, uid in rows:
+        by_day[day].add(uid)
+    days = sorted(by_day)
+    assert set(got) == set(days)
+    for d in days:
+        window = [x for x in days if 0 <= (d - x).days <= _WIN_DAYS - 1]
+        exact = len(set().union(*(by_day[x] for x in window)))
+        assert got[d].exact_ndv == exact
+        regs = {}
+        for x in window:
+            for uid in by_day[x]:
+                hv = _sha_int_py(str(uid))
+                idx, suf = hv % _HLL_M, hv // _HLL_M
+                rho = 43 if suf == 0 else 43 - suf.bit_length()
+                regs[idx] = max(regs.get(idx, 0), rho)
+        est = 0.709 * float(_HLL_M * _HLL_M) / (
+            sum(1.0 / (1 << m) for m in regs.values()) + (_HLL_M - len(regs)) * 1.0
+        )
+        assert got[d].hll_est == est
+        assert got[d].n_regs_hit == len(regs)
+
+
+def test_q197_byte_pricing_matches_python(spark, ddb):
+    """The encoding advisor's byte arithmetic against a Python recount on
+    the fixture (documents.lang: tiny dict, should recommend dict)."""
+    from pandaspark.queries import REGISTRY
+
+    got = {r.column_name: r for r in REGISTRY["q197_encoding_advisor"].fn(spark, SF_DIR).collect()}
+    vals = [v for (v,) in ddb.execute("SELECT lang FROM documents WHERE lang IS NOT NULL").fetchall()]
+    plain = sum(len(v) for v in vals)
+    dict_bytes = sum(len(v) for v in set(vals)) + len(vals) * 1  # ndv <= 256
+    r = got["documents.lang"]
+    assert (r.n_values, r.ndv, r.plain_bytes, r.dict_bytes) == (
+        len(vals), len(set(vals)), plain, dict_bytes,
+    )
+    assert r.use_dict == (dict_bytes < plain)
