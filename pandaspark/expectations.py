@@ -49,6 +49,10 @@ def _violation_expr(c: Check) -> Column:
     if c.kind == "not_null":
         return col.isNull()
     if c.kind == "accepted_values":
+        if not c.values:
+            # empty domain: every non-null value violates (isin(*()) would
+            # throw at analysis time)
+            return col.isNotNull()
         return col.isNotNull() & ~col.isin(*c.values)
     if c.kind == "in_range":
         return col.isNotNull() & ~col.between(F.lit(c.lo), F.lit(c.hi))
@@ -63,6 +67,14 @@ def compile_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     """All checks in one aggregate pass -> tidy rows.
 
     Returns columns: check_name, col_name, n_rows, n_violations, passed."""
+    if not checks:
+        # zero checks -> empty tidy frame (explode of an empty array is an
+        # analysis error); plausible for programmatically filtered suites
+        return df.sparkSession.createDataFrame(
+            [],
+            "check_name string, col_name string, n_rows long,"
+            " n_violations long, passed boolean",
+        )
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, c in enumerate(checks):
         if c.kind == "unique":

@@ -358,12 +358,12 @@ _WG_SHARED_MIN = 2  # pairs must share at least this many fingerprints
 _Q184_ORACLE = f"""
 WITH n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-  FROM documents WHERE text IS NOT NULL AND length(text) >= {_WG_K}
+  FROM documents WHERE text IS NOT NULL
 ),
 g AS (
   SELECT doc_id, unnest([substring(t, i, {_WG_K})
                          FOR i IN range(1, length(t) - {_WG_K - 2})]) AS s
-  FROM n
+  FROM n WHERE length(t) >= {_WG_K}
 ),
 fp AS (
   SELECT DISTINCT doc_id, {sql_sha_int('s')} AS f
@@ -389,14 +389,18 @@ HAVING count(*) >= {_WG_SHARED_MIN}
     "cross-doc substring overlap via winnowed 8-gram fingerprints (df-capped inverted index)",
 )
 def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate on the length of the NORMALIZED text: whitespace collapse can
+    # shrink a doc below the gram width, and a raw-length gate would then
+    # emit one truncated gram here while the oracle's range() emits none.
     d = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.length("text") >= _WG_K))
+        .filter(F.col("text").isNotNull())
         .select("doc_id", _norm_text().alias("t"))
+        .filter(F.length("t") >= _WG_K)
     )
     tc = F.col("t")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(tc) - (_WG_K - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.length(tc) - (_WG_K - 1)),
         lambda i: F.substring(tc, i, F.lit(_WG_K)),
     )
     # explode then hash as a column (codegen'd sha2 per row) — same shape

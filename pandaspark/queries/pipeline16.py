@@ -75,8 +75,10 @@ _Q192_ORACLE = "\nUNION ALL".join(_sql_fd(*c) for c in _FD_CANDIDATES)
 
 def _fd_profile(df: DataFrame, name: str, x: str, y: str) -> DataFrame:
     pair = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("cnt"))
+    # F.count(y), not count(*): a NULL dependent must not count as a
+    # distinct value, matching the oracle's null-skipping count(DISTINCT y).
     grp = pair.groupBy(x).agg(
-        F.count(F.lit(1)).alias("ndv_y"),
+        F.count(F.col(y)).alias("ndv_y"),
         F.sum("cnt").alias("grp_rows"),
         F.max("cnt").alias("majority_rows"),
     )

@@ -147,8 +147,14 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(we))
         .filter(F.col("rnk") <= _TA_K)
     )
-    kth = pruned_topk.filter(F.col("rnk") == _TA_K).select(
-        F.col("pruned_total").alias("kth_total")
+    # Aggregate (not filter) so the frame always has exactly one row even
+    # when there are fewer than K distinct keys — kth_total is then NULL,
+    # matching the oracle's scalar subquery, and certificate_ok is NULL
+    # rather than the whole result vanishing under the crossJoin.
+    kth = pruned_topk.agg(
+        F.max(
+            F.when(F.col("rnk") == _TA_K, F.col("pruned_total"))
+        ).alias("kth_total")
     )
     return (
         exact_topk.join(pruned_topk, "rnk", "left")

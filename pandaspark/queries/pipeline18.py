@@ -199,7 +199,10 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q199: snapshot diff ------------------------------------------------------
 
 _DIFF_MOD = 20  # sha(key) % 20: 0 -> deleted in v2, 1 -> price+1.00, 2 -> cloned as insert
-_INSERT_OFFSET = 10_000_000
+# synthetic-insert keys live in a disjoint key space: a fixed high bit far
+# above any real o_orderkey (TPC-H sf1 tops out ~6e6, sf1000 ~6e9; 2^40 ≈
+# 1.1e12) so clones can never collide with v1 keys and fan out the full join
+_INSERT_OFFSET = 1 << 40
 
 
 _SQL_KEYHASH = sql_sha_int("CAST(o_orderkey AS VARCHAR)") + f" % {_DIFF_MOD}"

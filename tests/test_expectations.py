@@ -91,3 +91,22 @@ def test_suggested_suite_catches_a_regressed_batch(spark):
     got = {r.check_name: r for r in compile_suite(bad, checks).collect()}
     assert not got["o_orderstatus_domain"].passed
     assert not got["o_totalprice_nonneg"].passed
+
+
+def test_empty_suite_yields_empty_tidy_frame(spark):
+    """Zero checks (a filtered-down programmatic suite) must compile to an
+    empty tidy frame, not an explode-of-empty-array analysis error."""
+    df = spark.range(3)
+    out = compile_suite(df, [])
+    assert out.columns == [
+        "check_name", "col_name", "n_rows", "n_violations", "passed"
+    ]
+    assert out.count() == 0
+
+
+def test_accepted_values_empty_domain_flags_all_non_null(spark):
+    """accepted_values with an empty values tuple: every non-null row
+    violates (nulls pass), instead of isin(*()) throwing."""
+    df = spark.createDataFrame([("a",), ("b",), (None,)], "x string")
+    [row] = compile_suite(df, [Check("dom", "x", "accepted_values")]).collect()
+    assert row.n_violations == 2 and not row.passed

@@ -1034,8 +1034,8 @@ def test_q191_checksum_is_order_and_layout_independent(spark, tmp_path_factory):
 @given(
     st.lists(
         st.tuples(
-            st.sampled_from(["s1", "s2", "s3", "s4"]),   # source (determinant)
-            st.sampled_from(["en", "de", "fr"]),          # lang (dependent)
+            st.sampled_from(["s1", "s2", "s3", "s4"]),    # source (determinant)
+            st.sampled_from(["en", "de", "fr", None]),    # lang (dependent; NULL skipped by ndv)
         ),
         min_size=1,
         max_size=200,
@@ -1072,8 +1072,12 @@ def test_q192_repair_rows_match_python_recount(spark, tmp_path_factory, pairs):
     by_src = defaultdict(list)
     for src, lang in pairs:
         by_src[src].append(lang)
+    # ndv skips NULL dependents (count(DISTINCT y) semantics, both engines);
+    # repair/majority counts still see the NULL pair-group as a group
     want_repair = sum(len(v) - Counter(v).most_common(1)[0][1] for v in by_src.values())
-    want_violating = sum(1 for v in by_src.values() if len(set(v)) > 1)
+    want_violating = sum(
+        1 for v in by_src.values() if len({x for x in v if x is not None}) > 1
+    )
     assert r.n_groups == len(by_src)
     assert r.violating_groups == want_violating
     assert r.repair_rows == want_repair
@@ -1197,11 +1201,18 @@ def test_q195_certificate_implies_exactness(spark, tmp_path_factory, items):
         REGISTRY["q195_threshold_topk"].fn(spark, str(tmp)).collect(),
         key=lambda r: r.rank,
     )
+    from pandaspark.queries.pipeline17 import _TA_K
+
     totals = Counter()
     for ok, ln, pk, q in items:
         totals[pk] += q
+    # The frame must cover every exact top-k rank — fewer-than-K distinct
+    # keys must yield that many rows (with NULL certificate), never zero.
+    assert len(got) == min(_TA_K, len(totals))
     want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert [(r.l_partkey, r.exact_total) for r in got] == want
+    if len(totals) < _TA_K:
+        assert all(r.certificate_ok is None for r in got)
     if got and got[0].certificate_ok:
         assert all(r.pruned_agrees for r in got)
 
