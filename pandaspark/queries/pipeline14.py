@@ -1,8 +1,8 @@
 """Tranche 14: engine-portable probabilistic structures, hash-checked.
 
 The point of this tranche: sketches are usually exempted from value-hash
-verification ("approximate = can't oracle-check", q58). That exemption is
-lazy — a sketch built from a DETERMINISTIC hash family is a pure function
+verification ("approximate = can't oracle-check" — q58's stance until it
+was re-registered on this machinery in round 6). That exemption is lazy — a sketch built from a DETERMINISTIC hash family is a pure function
 of its input, so a DuckDB replica produces the bit-identical sketch and
 the estimate itself becomes hash-checkable, error audit included. Every
 query here follows that discipline on the shared sha256-prefix family

@@ -8,7 +8,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register, round4, sql_cents_sum, cents_sum
+from . import (
+    load,
+    register,
+    round4,
+    sha_int,
+    spread,
+    sql_cents_sum,
+    sql_round4,
+    sql_sha_int,
+    cents_sum,
+)
 
 
 # --- q49: ranking windows (dense_rank / percent_rank / ntile / lead) -------
@@ -269,34 +279,194 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q58: sketch aggregates (HLL distinct + approx percentile) -------------
+# --- q58: sketch aggregates (portable HLL distinct + base-2 histogram median)
+
+_Q58_HLL_M = 64  # registers (p=6); alpha_64 = 0.709 (Flajolet et al. 2007)
 
 
-@register("q58_sketch_aggs", None, "approx_count_distinct + approx_percentile (rows-only)")
+_Q58_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag,
+         {sql_sha_int('CAST(l_orderkey AS VARCHAR)')} AS hv
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, hv % {_Q58_HLL_M} AS idx,
+         CASE WHEN hv // {_Q58_HLL_M} = 0 THEN 43
+              ELSE 43 - length(bin(hv // {_Q58_HLL_M})) END AS rho
+  FROM h
+),
+reg AS (
+  SELECT l_returnflag, idx, max(rho) AS mreg FROM r GROUP BY l_returnflag, idx
+),
+est AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_regs_hit,
+         0.709 * {_Q58_HLL_M * _Q58_HLL_M}.0
+           / (sum(1.0 / (CAST(1 AS BIGINT) << mreg))
+              + ({_Q58_HLL_M} - count(*)) * 1.0) AS hll_est
+  FROM reg GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+  FROM lineitem GROUP BY l_returnflag
+),
+vc AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+vcum AS (
+  SELECT l_returnflag, cents,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum
+  FROM vc
+),
+med AS (
+  SELECT v.l_returnflag, CAST(min(cents) AS BIGINT) AS exact_median_cents
+  FROM vcum v JOIN exact e USING (l_returnflag)
+  WHERE v.cum >= (e.n + 1) // 2 GROUP BY 1
+),
+hb AS (
+  SELECT l_returnflag, length(bin(cents)) AS bucket, sum(cnt) AS cnt
+  FROM vc GROUP BY 1, 2
+),
+hcum AS (
+  SELECT l_returnflag, bucket,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
+  FROM hb
+),
+hmed AS (
+  SELECT h.l_returnflag, CAST(min(bucket) AS BIGINT) AS median_bucket
+  FROM hcum h JOIN exact e USING (l_returnflag)
+  WHERE h.cum >= (e.n + 1) // 2 GROUP BY 1
+)
+SELECT e.l_returnflag, e.n, est.n_regs_hit, est.hll_est, e.exact_orders,
+       {sql_round4('(est.hll_est - e.exact_orders) / e.exact_orders')} AS hll_rel_err,
+       hmed.median_bucket,
+       CAST(1 AS BIGINT) << (hmed.median_bucket - 1) AS bucket_lo_cents,
+       (CAST(1 AS BIGINT) << hmed.median_bucket) - 1 AS bucket_hi_cents,
+       med.exact_median_cents
+FROM exact e
+JOIN est USING (l_returnflag)
+JOIN hmed USING (l_returnflag)
+JOIN med USING (l_returnflag)
+"""
+
+
+@register(
+    "q58_sketch_aggs",
+    _Q58_ORACLE,
+    "portable sketch aggregates: deterministic HLL NDV + base-2 histogram median, error vs exact",
+)
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB answer when exactness isn't
-    required: HyperLogLog++ distinct counts and quantile sketches are
-    mergeable, so they aggregate in one pass with map-side partials and a
-    constant-size shuffle payload (vs count(DISTINCT)'s full re-shuffle of
-    the key column). Sketch internals differ per engine, so no value-level
-    DuckDB oracle; tests/test_layout.py bounds the error against the exact
-    answers (q24/q27 are the exact counterparts)."""
-    li = load(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    # NB: never mix count(DISTINCT) with sketch aggregates in ONE agg — the
-    # distinct rewrite (Expand) forces a SortAggregate, under which typed
-    # imperative buffers (HLL/KLL) serialize per row: 50-150x slower.
-    # Two hash aggregates + a 3-row join keep both sides ObjectHashAggregate.
-    sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.03).alias("approx_orders"),
-        F.percentile_approx(cents, 0.5, 10000).alias("approx_median_cents"),
-        F.count(F.lit(1)).alias("n"),
+    required — on the PORTABLE deterministic machinery (q181/q182 family)
+    so the result is value-hash-checkable cross-engine, unlike engine-
+    native HLL++/KLL whose sketch internals differ per engine:
+
+      - NDV per return flag by hand-rolled HyperLogLog (m=64, sha256-
+        derived registers, integer-only rho via binary-string length; the
+        2^-rho sum is dyadic within 49 mantissa bits so the double math is
+        exact under any partial-agg order).
+      - Median price by a base-2 histogram (HdrHistogram shape): bucket =
+        bit-length of integer cents, mergeable integer counts, median
+        bucket from a cumulative sum over <=40 bucket rows per flag.
+
+    Both sketches aggregate with map-side partials and constant-size
+    shuffle payloads (m register rows / b bucket rows per group) — the
+    scale contract count(DISTINCT) and exact medians can't offer. The
+    exact NDV and exact lower-median ride along as the error audit;
+    tests/test_layout.py bounds hll_rel_err and asserts the exact median
+    falls inside the reported median bucket.
+
+    Reference parity: beyond-reference (the reference has no approximate
+    aggregates); the exact counterparts are q24/q27."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    hv = sha_int(F.col("l_orderkey").cast("string"))
+    r = spread(li).select("l_returnflag", hv.alias("hv")).select(
+        "l_returnflag",
+        (F.col("hv") % _Q58_HLL_M).alias("idx"),
+        F.when(F.expr(f"hv div {_Q58_HLL_M}") == 0, F.lit(43))
+        .otherwise(
+            F.lit(43)
+            - F.length(F.conv(F.expr(f"CAST(hv div {_Q58_HLL_M} AS STRING)"), 10, 2))
+        )
+        .alias("rho"),
+    )
+    reg = r.groupBy("l_returnflag", "idx").agg(F.max("rho").alias("mreg"))
+    inv = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), mreg)")
+    est = reg.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_hit"),
+        (
+            F.lit(0.709)
+            * F.lit(float(_Q58_HLL_M * _Q58_HLL_M))
+            / (F.sum(inv) + (F.lit(_Q58_HLL_M) - F.count(F.lit(1))) * F.lit(1.0))
+        ).alias("hll_est"),
     )
     exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
     )
-    return sketches.join(exact, "l_returnflag").select(
-        "l_returnflag", "approx_orders", "exact_orders", "approx_median_cents", "n"
+    # value histogram: per-(flag, cents) counts first, so the median
+    # windows below run over distinct values / <=40 buckets, not rows
+    vc = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = vc.withColumn("cum", F.sum("cnt").over(wv))
+    half = F.expr("(n + 1) div 2")  # integer floor-div, matching DuckDB's //
+    med = (
+        vcum.join(F.broadcast(exact), "l_returnflag")
+        .filter(F.col("cum") >= half)
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").cast("long").alias("exact_median_cents"))
+    )
+    hb = vc.groupBy(
+        "l_returnflag",
+        F.length(F.conv(F.col("cents").cast("string"), 10, 2)).alias("bucket"),
+    ).agg(F.sum("cnt").alias("cnt"))
+    wb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hmed = (
+        hb.withColumn("cum", F.sum("cnt").over(wb))
+        .join(F.broadcast(exact), "l_returnflag")
+        .filter(F.col("cum") >= half)
+        .groupBy("l_returnflag")
+        .agg(F.min("bucket").cast("long").alias("median_bucket"))
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .join(F.broadcast(hmed), "l_returnflag")
+        .join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "n_regs_hit",
+            "hll_est",
+            "exact_orders",
+            round4(
+                (F.col("hll_est") - F.col("exact_orders")) / F.col("exact_orders")
+            ).alias("hll_rel_err"),
+            "median_bucket",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(median_bucket AS INT) - 1)"
+            ).alias("bucket_lo_cents"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(median_bucket AS INT)) - 1"
+            ).alias("bucket_hi_cents"),
+            "exact_median_cents",
+        )
     )
 
 

@@ -124,21 +124,18 @@ def test_stateful_totals_match_batch_across_microbatches(spark, paced_events_dir
 
 
 def test_sketch_aggregates_error_bounds(spark):
-    """HLL distinct within 5% of exact; approx median within 1% of the
-    exact interpolated median's neighborhood (it returns a true element)."""
+    """Portable-sketch error bounds: the m=64 HLL estimate is within its
+    ~13% (1.04/sqrt(64)) expected band of the exact NDV, and the exact
+    lower median always falls inside the reported base-2 median bucket."""
     from pandaspark.queries import REGISTRY
 
     rows = REGISTRY["q58_sketch_aggs"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1) < 0.05
-    exact = {
-        r.l_returnflag: r.median_price
-        for r in REGISTRY["q27_quantiles"].fn(spark, SF_DIR).collect()
-    }
-    for r in rows:
-        med = exact[r.l_returnflag] * 100
-        assert abs(r.approx_median_cents - med) / max(med, 1) < 0.01, r
+        assert abs(r.hll_est - r.exact_orders) / max(r.exact_orders, 1) < 0.30
+        assert abs(r.hll_rel_err) < 0.30
+        assert r.bucket_lo_cents <= r.exact_median_cents <= r.bucket_hi_cents
+        assert r.bucket_lo_cents == 1 << (r.median_bucket - 1)
 
 
 def test_year_partitioned_store_prunes_partitions(spark, tmp_path):
