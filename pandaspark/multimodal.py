@@ -3,12 +3,21 @@
 iterators (`mapInPandas`) — the only place this engine leaves the JVM,
 because byte-level media decoding has no Catalyst expression.
 
-The decode kernels themselves are STUBBED: the container ships no
-image/audio libraries, so `decode` raises NotImplementedError unless
-`deterministic_fake=True`, which produces stable pseudo-metadata from a
-content hash. The Spark-side plumbing — schema, binaryFile scan,
-mapInPandas batch shape, partition sizing — is real and tested; dropping a
-real PIL/ffmpeg kernel into `_decode_batch` is a one-function change.
+Decode kernels are REAL for every format the Python stdlib can handle:
+
+  WAV   — full decode (header + PCM samples) via `wave` + numpy
+  BMP   — full decode (24-bit uncompressed BI_RGB) via `struct` + numpy
+  PPM   — full decode (binary P6) by hand
+  PNG   — header decode (IHDR width/height); pixel decode would need
+          per-scanline unfiltering — metadata only
+  GIF   — header decode (logical screen descriptor)
+  JPEG  — header decode (SOF0/1/2 frame dimensions by marker scan)
+
+Only genuinely absent codecs (JPEG entropy decode, MP4/MKV/WebM video,
+MP3/FLAC audio) raise NotImplementedError; `deterministic_fake=True`
+remains available to exercise the plumbing with stable pseudo-metadata.
+Encoders (`encode_wav`, `encode_bmp`, `encode_ppm`) exist so tests and
+the registry query can round-trip real bytes through the real kernels.
 
 Scale notes: binaryFile splits per-file (one file = one row); set
 `spark.sql.files.maxPartitionBytes` so a partition's worth of media fits in
@@ -19,6 +28,9 @@ is pruned away unless referenced).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import pandas as pd
@@ -40,16 +52,21 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),  # wav|bmp|ppm|png|gif|jpeg
         T.StructField("content_sha256", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_width", T.IntegerType(), True),
     ]
 )
 
 _KIND_BY_EXT = {
     "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+    "bmp": "image", "ppm": "image",
     "wav": "audio", "mp3": "audio", "flac": "audio",
     "mp4": "video", "mkv": "video", "webm": "video",
 }
@@ -74,9 +91,209 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
     )
 
 
+# --- encoders (fixture + round-trip side) ------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """16-bit signed PCM WAV from an int sequence (values in int16 range).
+    Exact round trip: decode(encode(s)) == s."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp(pixels) -> bytes:
+    """24-bit uncompressed BI_RGB BMP from an HxWx3 uint8 RGB array
+    (bottom-up rows, BGR byte order, 4-byte row padding — the classic
+    Windows 3.x BITMAPINFOHEADER layout)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary P6 PPM from an HxWx3 uint8 RGB array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+# --- decoders (real, stdlib-only) ---------------------------------------------
+
+
+def decode_wav_samples(content: bytes):
+    """Full WAV decode: (meta dict, int16 numpy samples, interleaved)."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        meta = {
+            "n_channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "sample_rate": w.getframerate(),
+            "n_frames": w.getnframes(),
+        }
+        raw = w.readframes(w.getnframes())
+    if meta["sample_width"] == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif meta["sample_width"] == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise NotImplementedError(f"WAV sample width {meta['sample_width']}")
+    return meta, samples
+
+
+def decode_bmp_pixels(content: bytes):
+    """Full 24-bit BI_RGB BMP decode -> HxWx3 uint8 RGB array."""
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    pixel_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BMP core-header variant")
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        off = pixel_offset + i * stride
+        row = np.frombuffer(content, dtype=np.uint8, count=row_bytes, offset=off)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def decode_ppm_pixels(content: bytes):
+    """Binary P6 PPM decode -> HxWx3 uint8 RGB array."""
+    import numpy as np
+
+    if content[:2] != b"P6":
+        raise NotImplementedError("only binary P6 PPM supported")
+    # header: P6, whitespace/comment-separated width height maxval, 1 ws byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255")
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
+
+
+def _png_dims(content: bytes) -> tuple[int, int]:
+    if content[:8] != b"\x89PNG\r\n\x1a\n" or content[12:16] != b"IHDR":
+        raise NotImplementedError("not a PNG (or missing IHDR)")
+    w, h = struct.unpack_from(">II", content, 16)
+    return w, h
+
+
+def _gif_dims(content: bytes) -> tuple[int, int]:
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF")
+    w, h = struct.unpack_from("<HH", content, 6)
+    return w, h
+
+
+def _jpeg_dims(content: bytes) -> tuple[int, int]:
+    """Scan JPEG markers for the SOF0/1/2 frame header (dimensions only —
+    entropy decode is a genuinely absent codec here)."""
+    if content[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack_from(">HH", content, pos + 5)
+            return w, h
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", content, pos + 2)[0]
+        pos += 2 + seglen
+    raise NotImplementedError("JPEG without SOF marker (truncated/corrupt)")
+
+
+def decode_bytes(content: bytes) -> dict:
+    """Magic-byte-dispatched metadata decode. Raises NotImplementedError
+    for formats whose codec is genuinely absent (MP4/MKV/WebM, MP3, FLAC)
+    or unrecognized bytes."""
+    base = {
+        "format": None, "width": None, "height": None, "n_frames": None,
+        "sample_rate": None, "n_channels": None, "sample_width": None,
+    }
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        meta, _ = decode_wav_samples(content)
+        return {**base, "format": "wav", "n_frames": meta["n_frames"],
+                "sample_rate": meta["sample_rate"],
+                "n_channels": meta["n_channels"],
+                "sample_width": meta["sample_width"]}
+    if content[:2] == b"BM":
+        px = decode_bmp_pixels(content)
+        return {**base, "format": "bmp", "width": px.shape[1],
+                "height": px.shape[0], "n_frames": 1}
+    if content[:2] == b"P6":
+        px = decode_ppm_pixels(content)
+        return {**base, "format": "ppm", "width": px.shape[1],
+                "height": px.shape[0], "n_frames": 1}
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _png_dims(content)
+        return {**base, "format": "png", "width": w, "height": h, "n_frames": 1}
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _gif_dims(content)
+        return {**base, "format": "gif", "width": w, "height": h, "n_frames": 1}
+    if content[:2] == b"\xff\xd8":
+        w, h = _jpeg_dims(content)
+        return {**base, "format": "jpeg", "width": w, "height": h, "n_frames": 1}
+    raise NotImplementedError(
+        f"no stdlib codec for content starting {content[:8]!r} "
+        "(MP4/MKV/WebM/MP3/FLAC decode requires ffmpeg-class libraries)"
+    )
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int]:
     """Deterministic pseudo-decode: stable dims from the content hash.
-    Stands in for a real PIL/ffmpeg kernel (not in this container)."""
+    Kept for plumbing tests and for kinds with no stdlib codec."""
     h = hashlib.sha256(content).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
@@ -86,32 +303,34 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
 
 def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     """Decode binary media to typed metadata via an Arrow-batched pandas
-    iterator. Real decode is NotImplemented in this container; the fake
-    path exercises the identical batch plumbing."""
+    iterator. The real path runs the stdlib codecs in `decode_bytes`
+    (WAV/BMP/PPM full decode; PNG/GIF/JPEG header decode) and raises on
+    genuinely undecodable bytes; `deterministic_fake=True` exercises the
+    identical batch plumbing with hash-derived metadata."""
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_SCHEMA.fields]
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg; pass deterministic_fake=True "
-                    "for the plumbing path"
-                )
             out = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
-                w, h, nf = _fake_decode(content)
-                out.append(
-                    {
-                        "path": row["path"],
-                        "kind": row["kind"],
-                        "content_sha256": hashlib.sha256(content).hexdigest(),
-                        "n_bytes": len(content),
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf if row["kind"] == "video" else 1,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+                rec = {
+                    "path": row["path"],
+                    "kind": row["kind"],
+                    "content_sha256": hashlib.sha256(content).hexdigest(),
+                    "n_bytes": len(content),
+                }
+                if deterministic_fake:
+                    w, h, nf = _fake_decode(content)
+                    rec.update(
+                        format="fake", width=w, height=h,
+                        n_frames=nf if row["kind"] == "video" else 1,
+                        sample_rate=None, n_channels=None, sample_width=None,
+                    )
+                else:
+                    rec.update(decode_bytes(content))
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
@@ -125,12 +344,60 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def image_features(px, dim: int = 64):
+    """Deterministic image embedding from an HxWx3 uint8 array: a 4x4
+    spatial grid of RGB means (48 dims) + a 16-bin gray histogram
+    (fractions), L2-normalized. No model — but a REAL function of the
+    pixels, so near-identical images embed near-identically."""
+    import numpy as np
+
+    assert dim == 64, "image feature layout is fixed at 64 dims"
+    h, w, _ = px.shape
+    grid = np.zeros((4, 4, 3), dtype=np.float64)
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    for i in range(4):
+        for j in range(4):
+            cell = px[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+            grid[i, j] = cell.reshape(-1, 3).mean(axis=0) / 255.0
+    gray = px.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+    hist = hist / max(gray.size, 1)
+    vec = np.concatenate([grid.reshape(-1), hist])
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
+def audio_features(samples, dim: int = 64):
+    """Deterministic audio embedding from int16 samples: 32 block RMS
+    values + 32 block zero-crossing rates, L2-normalized."""
+    import numpy as np
+
+    assert dim == 64, "audio feature layout is fixed at 64 dims"
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0:
+        return np.zeros(64)
+    bounds = np.linspace(0, s.size, 33).astype(int)
+    rms, zcr = [], []
+    for i in range(32):
+        blk = s[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        rms.append(np.sqrt(np.mean(blk * blk)) / 32768.0)
+        sign = blk >= 0
+        zcr.append(float(np.count_nonzero(sign[1:] != sign[:-1])) / max(blk.size, 1))
+    vec = np.array(rms + zcr)
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
 def extract_features(df: DataFrame, dim: int = 64, deterministic_fake: bool = False) -> DataFrame:
-    """Media → embedding column, Arrow-batched (mapInPandas). The model
-    forward pass is STUBBED like decode: the fake path derives a stable
-    unit-norm vector from the content hash, producing the same
-    `array<float>` shape as the `embeddings` table so downstream similarity
-    ops (cosine top-k, LSH ANN, near-dup) compose unchanged.
+    """Media → embedding column, Arrow-batched (mapInPandas). The real
+    path decodes pixels/samples with the stdlib codecs and computes a
+    deterministic feature vector (grid-RGB+histogram for images, block
+    RMS+ZCR for audio) — the same `array<float>` shape as the
+    `embeddings` table, so downstream similarity ops (cosine top-k, LSH
+    ANN, near-dup) compose unchanged. Formats without a pixel codec
+    (PNG/GIF/JPEG/video) raise unless `deterministic_fake=True`, which
+    derives a stable unit-norm vector from the content hash.
 
     Scale: embedding extraction is embarrassingly parallel over files; the
     binary column never leaves the task, only `dim` floats shuffle."""
@@ -139,23 +406,34 @@ def extract_features(df: DataFrame, dim: int = 64, deterministic_fake: bool = Fa
         import numpy as np
 
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "feature extraction requires a vision/audio model; pass "
-                    "deterministic_fake=True for the plumbing path"
-                )
             out = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
-                h = hashlib.sha256(content).digest()
-                raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-                vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
-                vec = vec / np.linalg.norm(vec)
+                if deterministic_fake:
+                    h = hashlib.sha256(content).digest()
+                    raw = np.frombuffer(
+                        (h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32
+                    )
+                    vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+                    vec = vec / np.linalg.norm(vec)
+                elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                    _, samples = decode_wav_samples(content)
+                    vec = audio_features(samples, dim)
+                elif content[:2] == b"BM":
+                    vec = image_features(decode_bmp_pixels(content), dim)
+                elif content[:2] == b"P6":
+                    vec = image_features(decode_ppm_pixels(content), dim)
+                else:
+                    raise NotImplementedError(
+                        "feature extraction requires a pixel/sample codec "
+                        "(WAV/BMP/PPM here); pass deterministic_fake=True for "
+                        "formats without one"
+                    )
                 out.append(
                     {
                         "path": row["path"],
                         "kind": row["kind"],
-                        "embedding": vec.astype(np.float32).tolist(),
+                        "embedding": np.asarray(vec, dtype=np.float32).tolist(),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
@@ -165,7 +443,8 @@ def extract_features(df: DataFrame, dim: int = 64, deterministic_fake: bool = Fa
 
 def frame_sample(df: DataFrame, every_nth: int = 8) -> DataFrame:
     """Frame-sampling plan for video rows: explodes sampled frame indices
-    (decode stubbed; index arithmetic is the real, tested part)."""
+    (video frame decode has no stdlib codec; index arithmetic is the real,
+    tested part)."""
     decoded = df.filter(F.col("kind") == "video")
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
     return decoded.withColumn("frame_index", F.explode(idx)).select(

@@ -209,6 +209,7 @@ from . import pipeline15  # noqa: E402,F401
 from . import pipeline16  # noqa: E402,F401
 from . import pipeline17  # noqa: E402,F401
 from . import pipeline18  # noqa: E402,F401
+from . import media  # noqa: E402,F401
 
 # REGISTRATION ORDER matters to the grading driver: it verifies queries in
 # registration order under a wall-clock budget (observed: ~50 entries per

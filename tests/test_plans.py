@@ -38,7 +38,9 @@ def test_no_python_row_udfs_in_plan(spark, name):
     # exception (see pandaspark/vectorops.py docstring) and the stubbed
     # multimodal module; everything else must stay JVM-side.
     assert "ArrowEvalPython" not in plan, f"{name} uses Python UDFs in the hot path"
-    _PANDAS_KERNEL_ALLOWED = {"q45_cosine_neardup"}
+    # q201's kernel is the multimodal codec round trip (WAV encode/decode
+    # has no Catalyst expression) — file-granularity groups, Arrow-batched
+    _PANDAS_KERNEL_ALLOWED = {"q45_cosine_neardup", "q201_media_pipeline"}
     if name not in _PANDAS_KERNEL_ALLOWED:
         assert "MapInPandas" not in plan, f"{name} uses mapInPandas outside the dense-linalg exception"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} uses applyInPandas outside the dense-linalg exception"
