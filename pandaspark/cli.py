@@ -173,6 +173,31 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    from .report import write_report
+
+    spark = _spark()
+    kwargs = {}
+    if args.pattern:
+        kwargs["keyword_patterns"] = args.pattern
+    if args.home_office_config:
+        import json as _json
+
+        from .report import CostLine, HomeOfficeConfig
+
+        with open(args.home_office_config) as fh:
+            cfg = _json.load(fh)
+        kwargs["home_office"] = HomeOfficeConfig(
+            area_total_m2=cfg["area_total_m2"],
+            area_office_m2=cfg["area_office_m2"],
+            account=cfg.get("account"),
+            lines=tuple(CostLine(**line) for line in cfg.get("lines", [])),
+        )
+    data = write_report(spark, args.store, args.out, args.year, **kwargs)
+    print(f"wrote {args.out} ({len(data['sections'])} sections)")
+    return 0
+
+
 def cmd_query(args) -> int:
     from .queries import REGISTRY
 
@@ -219,6 +244,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pattern", default=None)
     s.add_argument("--limit", type=int, default=100)
     s.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("report", help="render the analysis pack to a self-contained HTML document")
+    s.add_argument("--store", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--year", type=int, required=True)
+    s.add_argument("--pattern", default=None, help="keyword-costs section regex")
+    s.add_argument(
+        "--home-office-config",
+        default=None,
+        help="JSON {area_total_m2, area_office_m2, account?, lines: [{label, category?, pattern?, share?}]}",
+    )
+    s.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("query", help="run a registry query against a dataset dir")
     s.add_argument("--name", required=True)
