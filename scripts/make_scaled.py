@@ -18,7 +18,8 @@ Timestamps, prices, and categorical columns are left untouched — the value
 distributions (and therefore plan shapes: selectivities, group counts per
 key) match the original data.
 
-Usage: python scripts/make_scaled.py [src_dir] [dst_dir] [K]
+Usage: python scripts/make_scaled.py [src_dir] [dst_dir] [K] [hot_frac]
+(hot_frac > 0 plants a hot key — see `scale()`; default 0 = uniform)
 """
 
 from __future__ import annotations
@@ -45,9 +46,63 @@ KEY_COLS = {
 }
 SHARED = ["region", "nation"]
 
+VOWELS = "aeiou"
+CONS = "bcdfghjklmnpqrstvwz"
 
-def scale(spark: SparkSession, src: str, dst: str, k: int) -> None:
-    """Write the k× key-offset scale-up of src into dst (see module doc)."""
+
+def doc_perm(c: int) -> tuple[str, str]:
+    """The letter permutation applied to copy c's document text, as
+    (source_alphabet, target_alphabet) for one `translate` call.
+
+    Three axes, because the state space must exceed the copy count or the
+    set contains cross-copy clone texts (the generator defect class the
+    25× step first caught — clone groups hand the dedup/LSH families
+    candidate volume that scales with the COPY COUNT, not the corpus):
+
+      vowel rotation by c%5            (5 states)
+      consonant rotation by (c//5)%19  (19 states; added for K>5)
+      consonant REVERSAL on odd c//95  (2 states; added for K>95)
+
+    The reversal is the only sound third axis of three tried: rotating
+    digits left digit-free docs cloned, and adding 7·(c//95) to the
+    consonant rotation re-aligned with a different c//5 (both measured at
+    24,960 clone texts for K=100). A reversal is never a rotation of 19
+    elements, so {rot} and {rev∘rot} are disjoint: 5·19·2 = 190 distinct
+    permutations, injective in c (asserted by test_make_scaled). Copies
+    c<95 are byte-identical to the published scheme, so the recorded
+    5×/25× evidence is unaffected."""
+    tgt_v = "".join(VOWELS[(i + c) % 5] for i in range(5))
+    s = (c // 5) % 19
+    tgt_c = CONS[s:] + CONS[:s]
+    if (c // 95) % 2:
+        tgt_c = tgt_c[::-1]
+    return VOWELS + CONS, tgt_v + tgt_c
+
+
+def scale(
+    spark: SparkSession, src: str, dst: str, k: int, hot_frac: float = 0.0
+) -> None:
+    """Write the k× key-offset scale-up of src into dst (see module doc).
+
+    `hot_frac` > 0 plants a REAL hot key after the copies are built: that
+    fraction of lineitem rows is remapped to l_suppkey=0 and of events rows
+    to user_id=0 (deterministic row-hash selection, so both engines and
+    every re-run see the same rows). Key 0 exists in every copy's dimension
+    range, so referential joins stay valid — the result is the "one mega
+    supplier / one mega user" distribution that a uniform synthetic
+    scale-up can never produce, used by the salted-join/skew evidence in
+    docs/SCALING.md. Default 0.0 keeps all prior 5×/25× sets byte-stable."""
+    # generator validity bound: documents have 190 distinct letter
+    # permutations and embeddings 126 distinct (roll, sign) states — past
+    # min(190, 126) the copies MUST contain cross-copy clones, which hands
+    # the dedup/LSH families candidate volume that scales with the copy
+    # count instead of the corpus. Fail loudly instead of measuring that.
+    if k > 126:
+        raise ValueError(
+            f"K={k} exceeds the perturbation state space (126 distinct "
+            "copies): the set would contain cross-copy clone texts/vectors "
+            "— add another perturbation axis before building it"
+        )
     os.makedirs(dst, exist_ok=True)
 
     for t in SHARED:
@@ -56,7 +111,6 @@ def scale(spark: SparkSession, src: str, dst: str, k: int) -> None:
         )
         print(f"{t}: shared copy")
 
-    vowels = "aeiou"
     for t, keys in KEY_COLS.items():
         base = spark.read.parquet(f"{src}/{t}.parquet")
         parts = []
@@ -65,22 +119,9 @@ def scale(spark: SparkSession, src: str, dst: str, k: int) -> None:
             for kc in keys:
                 df = df.withColumn(kc, F.col(kc) + F.lit(c * STRIDE))
             if t == "documents" and c > 0:
-                rot = vowels[c % 5] + vowels[(1 + c) % 5] + vowels[(2 + c) % 5] + vowels[
-                    (3 + c) % 5
-                ] + vowels[(4 + c) % 5]
-                df = df.withColumn("text", F.translate("text", vowels, rot))
-                # the vowel rotation has period 5: without a second axis,
-                # copies c and c+5 would be IDENTICAL text, so any K>5 set
-                # would hand the dedup/LSH family clone groups whose
-                # candidate volume scales with K instead of the corpus —
-                # rotate the consonant alphabet by c//5 as well (combined
-                # period 5*19=95, byte-identical to the old scheme for K<=5)
-                if c // 5:
-                    cons = "bcdfghjklmnpqrstvwz"
-                    s = c // 5 % len(cons)
-                    df = df.withColumn(
-                        "text", F.translate("text", cons, cons[s:] + cons[:s])
-                    )
+                src_a, tgt_a = doc_perm(c)
+                if tgt_a != src_a:
+                    df = df.withColumn("text", F.translate("text", src_a, tgt_a))
             if t == "embeddings" and c > 0:
                 sign = -1.0 if c % 2 else 1.0
                 # roll period must exceed K/2 or copies collide (old c%8 +
@@ -102,6 +143,14 @@ def scale(spark: SparkSession, src: str, dst: str, k: int) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if hot_frac > 0 and t in ("lineitem", "events"):
+            key = "l_suppkey" if t == "lineitem" else "user_id"
+            picker = F.pmod(
+                F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(10_000)
+            ) < int(hot_frac * 10_000)
+            out = out.withColumn(
+                key, F.when(picker, F.lit(0)).otherwise(F.col(key))
+            )
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         print(f"{t}: x{k} -> {dst}/{t}.parquet")
 
@@ -121,7 +170,8 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5syn"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    scale(spark, src, dst, k)
+    hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    scale(spark, src, dst, k, hot_frac)
     spark.stop()
 
 
