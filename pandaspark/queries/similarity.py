@@ -207,6 +207,7 @@ WHERE cosine >= {_NEAR_T}
 
 
 _N_BLOCKS = 8
+_Q45_TILE = 4096  # strip width of the tiled block-pair matmul (see q45)
 
 
 @register("q45_cosine_neardup", _Q45_ORACLE, "embedding-cosine near-dup pair mining")
@@ -270,6 +271,15 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
 
+    # the score matrix is evaluated in fixed _Q45_TILE×_Q45_TILE strips: a whole
+    # (|i|,|j|) cosine matrix is quadratic in the BLOCK size, and with a
+    # fixed block COUNT the block size grows linearly with N — at the 100×
+    # scale step (200k vectors, 25k-row blocks) one un-tiled block pair is
+    # a 5 GB float64 matrix and 32 concurrent tasks OOMed a 48 GB heap's
+    # whole box. Tiling pins per-task transient memory at _TILE²·8B
+    # (134 MB) at ANY data scale; only the linear row payload grows.
+    _TILE = _Q45_TILE  # read at kernel-run time so tests can shrink it
+
     def score_block_pair(key, pdf):
         i, j = key
         a = pdf[pdf["blk"] == i]
@@ -282,22 +292,44 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmat = np.array(list(b["embedding"]), dtype=np.float64)
         anorm = np.linalg.norm(amat, axis=1)
         bnorm = np.linalg.norm(bmat, axis=1)
-        # floor(x*1e4+0.5)/1e4 == the round4 convention (queries/__init__)
-        cos = np.floor((amat @ bmat.T) / np.outer(anorm, bnorm) * 1e4 + 0.5) / 1e4
-        mask = cos >= _NEAR_T
-        if i == j:  # same block: each unordered pair once (upper triangle)
-            mask &= a_ids[:, None] < b_ids[None, :]
-        ia, ib = np.nonzero(mask)
-        a_lab = a["label"].to_numpy()[ia]
-        b_lab = b["label"].to_numpy()[ib]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(a_ids[ia], b_ids[ib]),
-                "vec_b": np.maximum(a_ids[ia], b_ids[ib]),
-                "cosine": cos[ia, ib],
-                "same_label": (a_lab == b_lab).astype(np.int64),
-            }
-        )
+        a_lab_all = a["label"].to_numpy()
+        b_lab_all = b["label"].to_numpy()
+        outs = []
+        for s in range(0, len(a_ids), _TILE):
+            for t in range(0, len(b_ids), _TILE):
+                sa, sb = slice(s, s + _TILE), slice(t, t + _TILE)
+                # floor(x*1e4+0.5)/1e4 == the round4 convention
+                # (queries/__init__); tile-invariant: each entry is the
+                # same expression regardless of strip boundaries
+                cos = (
+                    np.floor(
+                        (amat[sa] @ bmat[sb].T)
+                        / np.outer(anorm[sa], bnorm[sb])
+                        * 1e4
+                        + 0.5
+                    )
+                    / 1e4
+                )
+                mask = cos >= _NEAR_T
+                if i == j:  # same block: each unordered pair once
+                    mask &= a_ids[sa][:, None] < b_ids[sb][None, :]
+                ia, ib = np.nonzero(mask)
+                if not len(ia):
+                    continue
+                ga, gb = a_ids[sa][ia], b_ids[sb][ib]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(ga, gb),
+                            "vec_b": np.maximum(ga, gb),
+                            "cosine": cos[ia, ib],
+                            "same_label": (
+                                a_lab_all[sa][ia] == b_lab_all[sb][ib]
+                            ).astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return rep.groupBy("bi", "bj").applyInPandas(score_block_pair, out_schema)
 

@@ -56,10 +56,14 @@ def value_hash(cols, rows):
 
 
 def main():
+    # defaults fit the driver's sf0.01 scale; the 100× sweeps need more
+    # (OC_CPUS=32 OC_DRIVER_MEM=48g — a 16g heap OOMs on 60M-row
+    # intermediates and every later check then fails on the dead JVM)
+    cpus = os.environ.get("OC_CPUS", "8")
     builder = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.driver.memory", "8g")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("OC_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .appName("oracle-check")
     )
