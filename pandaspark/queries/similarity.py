@@ -276,9 +276,16 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed block COUNT the block size grows linearly with N — at the 100×
     # scale step (200k vectors, 25k-row blocks) one un-tiled block pair is
     # a 5 GB float64 matrix and 32 concurrent tasks OOMed a 48 GB heap's
-    # whole box. Tiling pins per-task transient memory at _TILE²·8B
-    # (134 MB) at ANY data scale; only the linear row payload grows.
-    _TILE = _Q45_TILE  # read at kernel-run time so tests can shrink it
+    # whole box. Tiling pins per-task transient memory at a
+    # CONSTANT ~3 tile-sized float64 temporaries (matmul result, outer of
+    # norms, quotient: ~3·_TILE²·8B ≈ 400 MB at 4096) at ANY data scale;
+    # only the linear row payload grows. The arithmetic inside a tile is
+    # kept byte-identical to the un-tiled form (divide by the outer
+    # product, THEN round) — pre-normalizing rows would be cheaper but
+    # changes the IEEE op order and risks knife-edge flips in the 4th
+    # decimal the oracle hash would catch.
+    _TILE = _Q45_TILE  # captured at q45() build time into the kernel closure
+    # (patch the module global BEFORE calling q45 — tests do)
 
     def score_block_pair(key, pdf):
         i, j = key

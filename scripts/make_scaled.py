@@ -147,7 +147,7 @@ def scale(
             key = "l_suppkey" if t == "lineitem" else "user_id"
             picker = F.pmod(
                 F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(10_000)
-            ) < int(hot_frac * 10_000)
+            ) < round(hot_frac * 10_000)  # round, not int(): 0.29*1e4 is 2899.999…
             out = out.withColumn(
                 key, F.when(picker, F.lit(0)).otherwise(F.col(key))
             )

@@ -52,6 +52,9 @@ def digest(joined: DataFrame) -> tuple:
 
 
 def main() -> None:
+    # standalone builder (not session.get_spark): this evidence script pins
+    # its own knobs (no-broadcast, AQE arms) and must not inherit product
+    # session defaults that could mask the effect under measurement
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
