@@ -400,6 +400,64 @@ def two_phase_running_total(
     )
 
 
+def ranked_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    value: Column,
+    rank_alias: str = "rk",
+    total_alias: str = "running_total",
+    start: int = 1,
+) -> DataFrame:
+    """Global sequential ids AND the globally-ordered running total of
+    `value` over the SAME total order, in ONE two-phase pass — the fusion
+    of sequential_ids + two_phase_running_total for consumers that need
+    both (e.g. vocabulary-coverage curves: rank terms by frequency and
+    accumulate mass along the same order).
+
+    Composing the two operators pays the range shuffle, the layout
+    checkpoint, the per-partition window, and the offsets job TWICE over
+    an identical ordering; here phase 1 computes row_number and the local
+    cumsum over one range-partitioned materialization, and phase 2's
+    offsets frame carries both the count prefix and the value-sum prefix
+    (still n_partitions rows — the only partition-less window input).
+    Exact-equal to the composed form by construction; asserted in
+    tests/test_operators.py. `value` must be exact (integer units) for
+    partial sums + offsets to equal the sequential total bit-for-bit."""
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
+    row_w = Window.partitionBy("_pid").orderBy(*order)
+    sum_w = row_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        ranged.withColumn("_v", value)
+        .withColumn("_rn", F.row_number().over(row_w))
+        .withColumn("_local_cum", F.sum("_v").over(sum_w))
+    )
+    totals = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_part_total")
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0).cast("long")).alias("_n_off"),
+        F.coalesce(F.sum("_part_total").over(off_w), F.lit(0).cast("long")).alias(
+            "_v_off"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_alias,
+            (F.col("_rn") + F.col("_n_off") + F.lit(start - 1)).cast("long"),
+        )
+        .withColumn(total_alias, F.col("_local_cum") + F.col("_v_off"))
+        .drop("_pid", "_v", "_rn", "_local_cum", "_n_off", "_v_off")
+    )
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,

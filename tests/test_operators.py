@@ -389,3 +389,47 @@ def test_merge_asof_timestamps_and_plan_has_no_join(spark):
     assert row.v == "y"  # delta 2us forward beats 3us backward
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_ranked_running_total_equals_composed_form(spark):
+    from pyspark.sql import functions as F
+    from pandaspark.operators import (
+        ranked_running_total,
+        sequential_ids,
+        two_phase_running_total,
+    )
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    o = load(spark, SF_DIR, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    order_cols = ["o_orderdate", "o_orderkey"]
+
+    fused = ranked_running_total(
+        o, order_cols, cents, rank_alias="rk", total_alias="rt"
+    ).select("o_orderkey", "rk", "rt")
+    composed = two_phase_running_total(
+        sequential_ids(o, order_cols, alias="rk"), order_cols, cents, alias="rt"
+    ).select("o_orderkey", "rk", "rt")
+    got = {r.o_orderkey: (r.rk, r.rt) for r in fused.collect()}
+    want = {r.o_orderkey: (r.rk, r.rt) for r in composed.collect()}
+    assert got == want and len(got) > 0
+
+    # fusion claim, asserted structurally on the fused plan (the composed
+    # form's duplicate range layout hides INSIDE its second checkpoint's
+    # RDD lineage, so plan-text comparison between the two is blind to
+    # it): row_number AND the cumulative sum must ride ONE _pid-keyed
+    # Window operator over ONE checkpointed layout — a physical Window
+    # line that carries both expressions
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    # dedupe: AdaptiveSparkPlan prints initial + final plans
+    win_lines = sorted({
+        ln.strip() for ln in plan.lower().replace(" ", "").splitlines()
+        if "window[" in ln and "windowspecdefinition(_pid" in ln
+    })
+    assert len(win_lines) == 2, win_lines  # fused local window + offsets window
+    local_win = [ln for ln in win_lines if "row_number()" in ln]
+    assert len(local_win) == 1 and "sum(_v" in local_win[0], win_lines
+    offs_win = [ln for ln in win_lines if "sum(_n" in ln]
+    assert len(offs_win) == 1 and "sum(_part_total" in offs_win[0], win_lines
