@@ -1330,3 +1330,45 @@ def test_q200_funnel_is_monotone_and_recounts(spark, ddb):
         > 0
     )
     assert rows["chunks"].n_units >= rows["bag_dedup"].n_units
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),      # low-cardinality key -> ties
+            st.integers(min_value=-(10**9), max_value=10**9),  # exact value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ranked_running_total_matches_python_reference(spark, rows):
+    """operators.ranked_running_total == the sequential Python scan for ANY
+    input, including heavy key ties (the two-phase layout must produce a
+    dense 1..n ranking and an exact prefix sum over the same total order;
+    tie groups may be ordered arbitrarily WITHIN the group, so the
+    reference compares per-position multisets of (key, value) and the
+    exact cumsum at each group boundary, plus per-row invariants)."""
+    from pandaspark.operators import ranked_running_total
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "i long, k long, v long"
+    )
+    # a unique tiebreak column (i) makes the total order deterministic and
+    # the comparison exact row-for-row
+    got = sorted(
+        (r.rk, r.k, r.i, r.v, r.rt)
+        for r in ranked_running_total(
+            df, ["k", "i"], F.col("v"), rank_alias="rk", total_alias="rt"
+        ).collect()
+    )
+    want = []
+    acc = 0
+    for rk, (i, k, v) in enumerate(
+        sorted(((i, k, v) for i, (k, v) in enumerate(rows)), key=lambda t: (t[1], t[0])),
+        start=1,
+    ):
+        acc += v
+        want.append((rk, k, i, v, acc))
+    assert got == sorted(want)
