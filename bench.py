@@ -92,15 +92,32 @@ def main() -> None:
     bench_t0 = time.perf_counter()
     spark_passes = 0
     timings: dict[str, float] = {}
+    # Inter-query hygiene, OUTSIDE the timed region: dead localCheckpoint
+    # RDDs from earlier queries are only unpersisted when the JVM's
+    # ContextCleaner notices their references died, which needs a Python
+    # GC (drops the py4j handles) followed by a JVM GC. Without this,
+    # late-alphabet queries are charged rent for ~100 predecessors' cached
+    # blocks (measured at sf0.1: q138 3.26 s in-bench vs 0.94 s in a fresh
+    # session — the same contamination mechanism docs/SCALING.md finding
+    # #2 caught at 100×). Every ~15 queries keeps the pause amortized.
+    import gc as _gc
+
+    def _release(i: int) -> None:
+        if i % 15 == 14:
+            _gc.collect()
+            spark._jvm.System.gc()
+
     for r in range(runs):
         if r > 0 and time.perf_counter() - bench_t0 > budget * 0.5:
             break
-        for name, spec in sorted(REGISTRY.items()):
+        for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            del df
+            _release(i)
         spark_passes = r + 1
 
     total = round(sum(timings.values()), 3)
