@@ -8,15 +8,15 @@ Decode kernels are REAL for every format the Python stdlib can handle:
   WAV   — full decode (header + PCM samples) via `wave` + numpy
   BMP   — full decode (24-bit uncompressed BI_RGB) via `struct` + numpy
   PPM   — full decode (binary P6) by hand
-  PNG   — header decode (IHDR width/height); pixel decode would need
-          per-scanline unfiltering — metadata only
+  PNG   — full decode (8-bit RGB/RGBA, all five scanline unfilters) via
+          stdlib `zlib`; palette/interlace/16-bit variants raise
   GIF   — header decode (logical screen descriptor)
   JPEG  — header decode (SOF0/1/2 frame dimensions by marker scan)
 
 Only genuinely absent codecs (JPEG entropy decode, MP4/MKV/WebM video,
-MP3/FLAC audio) raise NotImplementedError; `deterministic_fake=True`
+MP3/FLAC audio) and exotic PNG variants raise NotImplementedError; `deterministic_fake=True`
 remains available to exercise the plumbing with stable pseudo-metadata.
-Encoders (`encode_wav`, `encode_bmp`, `encode_ppm`) exist so tests and
+Encoders (`encode_wav`, `encode_bmp`, `encode_ppm`, `encode_png`) exist so tests and
 the registry query can round-trip real bytes through the real kernels.
 
 Scale notes: binaryFile splits per-file (one file = one row); set
@@ -225,6 +225,135 @@ def _png_dims(content: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """8-bit RGB PNG encoder (color type 2, no interlace). Each scanline
+    uses filter y % 5, cycling through None/Sub/Up/Average/Paeth — a valid
+    PNG any reader accepts, chosen so round-trip tests exercise EVERY
+    unfilter path in decode_png_pixels, not just filter 0."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    assert c == 3, "encode_png writes RGB"
+    raw = px.astype(np.int16)
+    lines = []
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        cur = raw[y]
+        f = y % 5
+        left = np.vstack([np.zeros((1, 3), np.int16), cur[:-1]])
+        ul = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(content: bytes):
+    """Full PNG decode for 8-bit truecolor (color type 2) and truecolor+
+    alpha (6, alpha dropped) -> HxWx3 uint8 RGB. Pure stdlib: zlib
+    inflate + the five scanline unfilters (None/Sub/Up/Average/Paeth).
+    Palette, interlace, and 16-bit stay NotImplementedError — those are
+    format VARIANTS, not absent codecs, and the error says which."""
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            meta = (w, h, depth, ctype, comp, filt, interlace)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        raise NotImplementedError("PNG without IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG variant bit_depth={depth} color_type={ctype} "
+            f"interlace={interlace} (only 8-bit RGB/RGBA, non-interlaced)"
+        )
+    nch = 3 if ctype == 2 else 4
+    data = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(data) != h * (1 + stride):
+        raise NotImplementedError("PNG IDAT size mismatch (corrupt)")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = data[y * (1 + stride)]
+        line = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — vectorizable
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth carry left-to-right state
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    return px[:, :, :3].copy() if nch == 4 else px
+
+
 def _gif_dims(content: bytes) -> tuple[int, int]:
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF")
@@ -277,8 +406,18 @@ def decode_bytes(content: bytes) -> dict:
         return {**base, "format": "ppm", "width": px.shape[1],
                 "height": px.shape[0], "n_frames": 1}
     if content[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = _png_dims(content)
-        return {**base, "format": "png", "width": w, "height": h, "n_frames": 1}
+        # metadata pass: full-decode when the variant is supported (also
+        # validates the stream), else degrade to header dims — the same
+        # header-only treatment GIF/JPEG get here. extract_features is
+        # where an undecodable PNG must raise.
+        try:
+            px = decode_png_pixels(content)
+            return {**base, "format": "png", "width": int(px.shape[1]),
+                    "height": int(px.shape[0]), "n_frames": 1}
+        except NotImplementedError:
+            w, h = _png_dims(content)
+            return {**base, "format": "png", "width": w, "height": h,
+                    "n_frames": 1}
     if content[:6] in (b"GIF87a", b"GIF89a"):
         w, h = _gif_dims(content)
         return {**base, "format": "gif", "width": w, "height": h, "n_frames": 1}
@@ -396,7 +535,7 @@ def extract_features(df: DataFrame, dim: int = 64, deterministic_fake: bool = Fa
     RMS+ZCR for audio) — the same `array<float>` shape as the
     `embeddings` table, so downstream similarity ops (cosine top-k, LSH
     ANN, near-dup) compose unchanged. Formats without a pixel codec
-    (PNG/GIF/JPEG/video) raise unless `deterministic_fake=True`, which
+    (GIF/JPEG/video) raise unless `deterministic_fake=True`, which
     derives a stable unit-norm vector from the content hash.
 
     Scale: embedding extraction is embarrassingly parallel over files; the
@@ -423,11 +562,13 @@ def extract_features(df: DataFrame, dim: int = 64, deterministic_fake: bool = Fa
                     vec = image_features(decode_bmp_pixels(content), dim)
                 elif content[:2] == b"P6":
                     vec = image_features(decode_ppm_pixels(content), dim)
+                elif content[:8] == b"\x89PNG\r\n\x1a\n":
+                    vec = image_features(decode_png_pixels(content), dim)
                 else:
                     raise NotImplementedError(
                         "feature extraction requires a pixel/sample codec "
-                        "(WAV/BMP/PPM here); pass deterministic_fake=True for "
-                        "formats without one"
+                        "(WAV/BMP/PPM/PNG here); pass deterministic_fake=True "
+                        "for formats without one"
                     )
                 out.append(
                     {

@@ -452,3 +452,88 @@ def test_new_streaming_entries_match_batch_on_nanos_fixture(spark, tmp_path):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got178 == want178 and len(got178) > 0
+
+
+def test_png_round_trip_exercises_every_filter():
+    """encode_png deliberately cycles scanline filters 0..4 (None/Sub/Up/
+    Average/Paeth), so one >=5-row round trip proves every unfilter path;
+    an RGBA variant proves the alpha-drop path; exotic variants must raise
+    with the variant named."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pandaspark.multimodal import decode_png_pixels, encode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(9, 5, 3)).astype(np.uint8)
+    blob = encode_png(px)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_png_pixels(blob), px)
+    # gradient image (Paeth/Average-friendly content, not just noise)
+    grad = np.arange(9 * 5 * 3, dtype=np.uint8).reshape(9, 5, 3)
+    assert np.array_equal(decode_png_pixels(encode_png(grad)), grad)
+
+    # RGBA (color type 6): alpha dropped, RGB preserved — build by hand
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    h, w = px.shape[:2]
+    rgba = np.dstack([px, np.full((h, w), 200, np.uint8)])
+    scan = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    blob4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png_pixels(blob4), px)
+
+    # 16-bit depth must raise and NAME the variant
+    blob16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (h * (1 + w * 6))))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+        decode_png_pixels(blob16)
+    # truncated IDAT is corrupt, not silently wrong
+    bad = encode_png(px)
+    trunc = bad.replace(b"IEND", b"XEND")  # drop IEND; also corrupt stream below
+    with pytest.raises(Exception):
+        decode_png_pixels(bad[:40])
+
+
+def test_png_flows_through_decode_and_features(spark, tmp_path):
+    """PNG is a first-class image format end-to-end: decode_media reports
+    true dimensions and extract_features embeds PNG pixels — identical
+    pixels embed identically across PNG/BMP/PPM containers."""
+    import numpy as np
+
+    from pandaspark.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        extract_features,
+        read_media_dir,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(12, 8, 3)).astype(np.uint8)
+    (tmp_path / "a.png").write_bytes(encode_png(px))
+    (tmp_path / "b.bmp").write_bytes(encode_bmp(px))
+    (tmp_path / "c.ppm").write_bytes(encode_ppm(px))
+    media = read_media_dir(spark, str(tmp_path))
+    dec = {r.path.rsplit("/", 1)[-1]: r for r in decode_media(media).collect()}
+    assert dec["a.png"].format == "png"
+    assert (dec["a.png"].width, dec["a.png"].height) == (8, 12)
+    feats = {r.path.rsplit("/", 1)[-1]: r.embedding
+             for r in extract_features(media).collect()}
+    assert feats["a.png"] == feats["b.bmp"] == feats["c.ppm"]
