@@ -458,6 +458,88 @@ def ranked_running_total(
     )
 
 
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    weight: Column,
+    value_alias: str = "wm_value",
+    total_alias: str = "total_weight",
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Exact weighted median per group by HISTOGRAM-REFINE selection — the
+    100 TB form of "smallest value whose cumulative weight reaches half
+    the group total".
+
+    The direct form (cumulative window per group, ordered by value) sorts
+    each group inside ONE task; with few groups that is a handful of
+    straggler tasks sorting the whole corpus. Here nothing corpus-sized is
+    ever sorted OR shuffled:
+      1. bucket values coarsely (v >> bucket_bits) and aggregate weight
+         per (group, bucket) — a tiny, map-side-combinable histogram;
+      2. prefix-sum the histogram per group (a window over the
+         n_groups×n_buckets frame) to locate the ONE bucket per group
+         containing the half-weight crossing;
+      3. re-scan only that bucket's rows with a local cumulative window.
+    `df` is scanned twice (phases 1 and 3) — fine for source-backed
+    frames; checkpoint expensive upstream pipelines first.
+    Phase 1 buckets values coarsely (arithmetic shift, so buckets are
+    value-ordered even for negatives): the per-(group, bucket) weight
+    histogram is tiny and map-side combinable — no sample pass, no range
+    shuffle, no sort. Only the crossing bucket's rows (corpus/n_buckets
+    of the data) are re-scanned; a value distribution concentrated inside
+    one bucket degrades toward the per-group sort, so pick bucket_bits
+    well under the value spread. Weights must be exact longs, so the
+    result equals the windowed form bit-for-bit (asserted in
+    tests/test_operators.py). Returns one row per group:
+    (group, value_alias = crossing value, total_alias)."""
+    vals = df.select(F.col(group_col).alias("_g"), value.alias("_v"), weight.alias("_w"))
+    bucket = F.shiftright(F.col("_v").cast("long"), bucket_bits)
+    ps = vals.groupBy("_g", bucket.alias("_b")).agg(F.sum("_w").alias("_s"))
+    off_w = (
+        Window.partitionBy("_g").orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = ps.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(off_w), F.lit(0).cast("long"))
+    )
+    tw = ps.groupBy("_g").agg(F.sum("_s").alias("_tw"))
+    meta = (
+        off.join(F.broadcast(tw), "_g")
+        .filter((F.col("_off") + F.col("_s")) * 2 >= F.col("_tw"))
+        .groupBy("_g")
+        .agg(
+            F.min_by(F.struct(F.col("_b"), F.col("_off")), F.col("_b")).alias("_m"),
+            F.any_value("_tw").alias("_tw"),
+        )
+        .select(
+            F.col("_g").alias("_mg"),
+            F.col("_m._b").alias("_cb"),
+            F.col("_m._off").alias("_coff"),
+            "_tw",
+        )
+    )
+    cand = vals.join(
+        F.broadcast(meta),
+        (bucket == F.col("_cb")) & (F.col("_g") == F.col("_mg")),
+    )
+    cum_w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossed = cand.withColumn("_cum", F.sum("_w").over(cum_w) + F.col("_coff"))
+    return (
+        crossed.groupBy("_g")
+        .agg(
+            F.min(F.when(F.col("_cum") * 2 >= F.col("_tw"), F.col("_v"))).alias(
+                value_alias
+            ),
+            F.any_value("_tw").alias(total_alias),
+        )
+        .withColumnRenamed("_g", group_col)
+    )
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,

@@ -52,26 +52,25 @@ GROUP BY grp
     "exact weighted median per group via the skew-safe histogram shuffle",
 )
 def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed selection, not a per-group sort: prices are near-unique,
+    so the (group, value) histogram is corpus-sized and a per-group
+    cumulative window sorts the corpus in n_groups straggler tasks. The
+    operator range-partitions by (group, value), locates the half-weight
+    crossing partition from broadcast prefix sums, and scans only that
+    partition — bit-equal to the windowed form (test_operators.py)."""
+    from pandaspark.operators import grouped_weighted_median
+
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v_cents"),
         F.col("l_quantity").cast("long").alias("q"),
     )
-    # histogram: shuffle keyed on (group, value) — a hot group's rows still
-    # spread across the cluster; the windowed frame below is NDV-sized
-    h = li.groupBy("grp", "v_cents").agg(F.sum("q").alias("w"))
-    wg = Window.partitionBy("grp")
-    c = h.withColumn(
-        "cw",
-        F.sum("w").over(wg.orderBy("v_cents").rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn("tw", F.sum("w").over(wg))
-    return c.groupBy("grp").agg(
-        (
-            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v_cents"))).cast("long")
-            / F.lit(100.0)
-        ).alias("weighted_median"),
-        F.max("tw").alias("total_weight"),
-    ).select(F.col("grp").alias("l_returnflag"), "weighted_median", "total_weight")
+    wm = grouped_weighted_median(li, "grp", F.col("v_cents"), F.col("q"))
+    return wm.select(
+        F.col("grp").alias("l_returnflag"),
+        (F.col("wm_value").cast("long") / F.lit(100.0)).alias("weighted_median"),
+        F.col("total_weight"),
+    )
 
 
 # --- q141: exact Gini concentration per group --------------------------------
@@ -191,38 +190,78 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import round4
     from .similarity import _dot, _norm
 
+    # Per-pair math is the hot loop: norms are computed ONCE per vector
+    # (N fold passes, not 2 per pair), and each unordered pair's cosine is
+    # computed once on the src<dst half then mirrored — dot(b,a) is
+    # bit-equal to dot(a,b) (element-wise multiply commutes, fold order
+    # unchanged), so the mirrored rows hash-match the oracle's per-direction
+    # recomputation exactly. 6x less HOF work than the naive form.
     e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("src"), F.col("v").alias("va")
+    en = e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    a = en.select(
+        F.col("label"),
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
-        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+    b = en.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    c = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") != F.col("dst")))
+    half = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") < F.col("dst")))
         .select(
             "label",
             "src",
             "dst",
             round4(
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
             ).alias("cosine"),
         )
     )
-    wsrc = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
-    best = (
-        c.withColumn("rk", F.row_number().over(wsrc))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-        .localCheckpoint(eager=False)  # joined against itself for reciprocity
+    # both directions in ONE pass (explode, not a union that would
+    # re-evaluate the join subtree per branch)
+    c = half.select(
+        "label",
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("p"),
+        "cosine",
+    ).select("label", F.col("p.s").alias("src"), F.col("p.d").alias("dst"), "cosine")
+    # top-1 per src as a hash aggregate (map-side partials; the sort-window
+    # equivalent shuffles + sorts every pair row). Tie-break matches the
+    # oracle's (cosine DESC, dst ASC): max_by on (cosine, -dst).
+    best = c.groupBy("src").agg(
+        F.max_by(
+            F.struct("label", "dst", "cosine"),
+            F.struct(F.col("cosine"), (-F.col("dst")).alias("nd")),
+        ).alias("m")
     )
-    y = best.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    # reciprocity without a self-join: a pair {a, b} is mutual exactly when
+    # BOTH directed best-rows land in its canonical (least, greatest) group —
+    # no checkpoint, no join, one tiny shuffle over N best-rows
+    bk = best.select(
+        F.least(F.col("src"), F.col("m.dst")).alias("vec_a"),
+        F.greatest(F.col("src"), F.col("m.dst")).alias("vec_b"),
+        F.col("m.label").alias("label"),
+        F.col("m.cosine").alias("cosine"),
+    )
     return (
-        best.join(y, ["src", "dst"], "left_semi")
-        .filter(F.col("src") < F.col("dst"))
-        .select("label", F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "cosine")
+        bk.groupBy("vec_a", "vec_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.any_value("label").alias("label"),
+            F.any_value("cosine").alias("cosine"),
+        )
+        .filter(F.col("_n") == 2)
+        .select("label", "vec_a", "vec_b", "cosine")
     )
 
 
@@ -283,16 +322,28 @@ JOIN knn kb ON kb.src = m.vb
 def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot, _norm
 
+    # Same hot-loop discipline as q142: norm once per vector, compute each
+    # unordered pair's cosine once on the src<dst half, mirror the rest
+    # (bit-equal — element-wise multiply commutes, fold order unchanged).
     e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    a = e.select("label", F.col("vec_id").alias("src"), F.col("v").alias("va"))
-    b = e.select(
-        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+    en = e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    a = en.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    c = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") != F.col("dst")))
+    b = en.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    half = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") < F.col("dst")))
         .select(
             "label",
             "src",
@@ -300,19 +351,68 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cos * 10000 + F.lit(0.5)).cast("long").alias("c4"),
         )
     )
-    wsrc = Window.partitionBy("src").orderBy(F.col("c4").desc(), "dst")
-    rk = c.withColumn("rk", F.row_number().over(wsrc)).localCheckpoint(eager=False)
-    knn = (
-        rk.filter(F.col("rk") <= _MM_K)
-        .groupBy("src")
-        .agg(F.sum("c4").alias("sk"), F.count(F.lit(1)).alias("nk"))
+    c = half.select(
+        "label",
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("p"),
+        "c4",
+    ).select("label", F.col("p.s").alias("src"), F.col("p.d").alias("dst"), "c4")
+    # ONE hash aggregate yields the best neighbor AND the top-K
+    # neighborhood sum per src (sort_array over a collect_list bounded by
+    # the label-block size — the same bound the all-pairs join already
+    # imposes, so no new memory class). Tie-break (c4 DESC, dst ASC) via
+    # the (c4, -dst) struct order, identical to the oracle's row_number.
+    g = c.groupBy("src").agg(
+        F.any_value("label").alias("label"),
+        F.max_by(
+            F.struct("dst", "c4"), F.struct(F.col("c4"), (-F.col("dst")).alias("nd"))
+        ).alias("m"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("c4"), (-F.col("dst")).alias("nd"))),
+                asc=False,
+            ),
+            1,
+            _MM_K,
+        ).alias("topk"),
+    ).select(
+        "src",
+        "label",
+        F.col("m.dst").alias("bdst"),
+        F.col("m.c4").alias("c4"),
+        F.aggregate(
+            F.col("topk"), F.lit(0).cast("long"), lambda acc, x: acc + x["c4"]
+        ).alias("sk"),
+        F.size("topk").cast("long").alias("nk"),
     )
-    best = rk.filter(F.col("rk") == 1).select("label", "src", "dst", "c4")
-    y = best.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
-    mutual = (
-        best.join(y, ["src", "dst"], "left_semi")
-        .filter(F.col("src") < F.col("dst"))
-        .select("label", F.col("src").alias("va"), F.col("dst").alias("vb"), "c4")
+    # reciprocity without a self-join (q142's canonical-group trick), with
+    # each endpoint's (sk, nk) recovered from whichever directed row
+    # carried it — zero joins after the pair scan
+    bk = g.select(
+        F.least(F.col("src"), F.col("bdst")).alias("vec_a"),
+        F.greatest(F.col("src"), F.col("bdst")).alias("vec_b"),
+        "src",
+        "label",
+        "c4",
+        "sk",
+        "nk",
+    )
+    mut = (
+        bk.groupBy("vec_a", "vec_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.any_value("label").alias("label"),
+            F.any_value("c4").alias("c4"),
+            F.max(F.when(F.col("src") == F.col("vec_a"), F.col("sk"))).alias("sk_a"),
+            F.max(F.when(F.col("src") == F.col("vec_a"), F.col("nk"))).alias("nk_a"),
+            F.max(F.when(F.col("src") == F.col("vec_b"), F.col("sk"))).alias("sk_b"),
+            F.max(F.when(F.col("src") == F.col("vec_b"), F.col("nk"))).alias("nk_b"),
+        )
+        .filter(F.col("_n") == 2)
     )
     # pooled-neighborhood ratio margin: cos(a,b) / ((sk_a+sk_b)/(nk_a+nk_b)
     # rescaled) — numerator and denominator both in 4-dp integer units, so
@@ -322,26 +422,12 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("nk_a") + F.col("nk_b"))
         / (F.col("sk_a") + F.col("sk_b")).cast("double")
     )
-    return (
-        mutual.join(
-            knn.select(
-                F.col("src").alias("va"), F.col("sk").alias("sk_a"), F.col("nk").alias("nk_a")
-            ),
-            "va",
-        )
-        .join(
-            knn.select(
-                F.col("src").alias("vb"), F.col("sk").alias("sk_b"), F.col("nk").alias("nk_b")
-            ),
-            "vb",
-        )
-        .select(
-            "label",
-            F.col("va").alias("vec_a"),
-            F.col("vb").alias("vec_b"),
-            (F.col("c4") / 10000.0).alias("cosine"),
-            (F.floor(margin * 10000 + F.lit(0.5)) / 10000.0).alias("margin"),
-        )
+    return mut.select(
+        "label",
+        F.col("vec_a"),
+        F.col("vec_b"),
+        (F.col("c4") / 10000.0).alias("cosine"),
+        (F.floor(margin * 10000 + F.lit(0.5)) / 10000.0).alias("margin"),
     )
 
 

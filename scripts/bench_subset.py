@@ -1,0 +1,78 @@
+"""Bench-matched per-query timing for a subset: mirrors bench.py's exact
+session conditions (get_spark aqe off below 1 GiB, PANDASPARK_SHUFFLE_PARTITIONS=8,
+noop sink, min-of-N) AND times the DuckDB oracle alongside, printing the
+ratio the judge computes ((spark - floor) / duck).
+
+Usage: python scripts/bench_subset.py [sf_dir] q112 q138 ...
+Env: BS_RUNS (default 3), BS_FLOOR (default 0.21)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_args = sys.argv[1:]
+if _args and os.path.isdir(_args[0]):
+    SF_DIR, NAMES = _args[0], _args[1:]
+else:
+    SF_DIR, NAMES = "/root/testdata/sf0.1", _args
+RUNS = int(os.environ.get("BS_RUNS", "3"))
+FLOOR = float(os.environ.get("BS_FLOOR", "0.21"))
+
+
+def main() -> None:
+    data_bytes = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR)
+        if f.endswith(".parquet")
+    )
+    if data_bytes < 1 << 30:
+        os.environ.setdefault("PANDASPARK_SHUFFLE_PARTITIONS", "8")
+
+    from pandaspark.queries import REGISTRY
+    from pandaspark.session import get_spark
+
+    spark = get_spark("bench-subset", aqe=data_bytes >= 1 << 30)
+    spark.sparkContext.setLogLevel("OFF")
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    picks = [n for n in sorted(REGISTRY) if any(n.startswith(p) for p in NAMES)]
+    if not picks:
+        sys.exit(f"no registry query matches prefixes {NAMES}")
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    for name in picks:
+        spec = REGISTRY[name]
+        best = float("inf")
+        for _ in range(RUNS + 1):  # first pass is warm-up, like bench's pass structure
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        dbest = float("inf")
+        if spec.oracle is not None:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                dbest = min(dbest, time.perf_counter() - t0)
+        ratio = (best - FLOOR) / dbest if spec.oracle else float("nan")
+        print(
+            f"{name:32s} spark {best:6.3f}s  duck {dbest:6.3f}s  "
+            f"judge-ratio {ratio:5.2f}",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -433,3 +433,61 @@ def test_ranked_running_total_equals_composed_form(spark):
     assert len(local_win) == 1 and "sum(_v" in local_win[0], win_lines
     offs_win = [ln for ln in win_lines if "sum(_n" in ln]
     assert len(offs_win) == 1 and "sum(_part_total" in offs_win[0], win_lines
+
+
+def test_grouped_weighted_median_equals_global_window(spark):
+    """Histogram-refine selection must equal the direct cumulative-window
+    form bit-for-bit — on real data (near-unique values), on heavy ties
+    (crossing inside a tie run), and on negative values (arithmetic-shift
+    bucketing must stay value-ordered)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pandaspark.operators import grouped_weighted_median
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    def naive(df):
+        wg = Window.partitionBy("_g")
+        c = df.withColumn(
+            "cw",
+            F.sum("_w").over(
+                wg.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn("tw", F.sum("_w").over(wg))
+        return {
+            r._g: (r.m, r.t)
+            for r in c.groupBy("_g")
+            .agg(
+                F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("_v"))).alias("m"),
+                F.max("tw").alias("t"),
+            )
+            .collect()
+        }
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_returnflag").alias("_g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_v"),
+        F.col("l_quantity").cast("long").alias("_w"),
+    )
+    got = {
+        r._g: (r.wm_value, r.total_weight)
+        for r in grouped_weighted_median(li, "_g", F.col("_v"), F.col("_w")).collect()
+    }
+    assert got == naive(li) and len(got) == 3
+
+    # ties + negatives + a group whose mass sits in one bucket, with a
+    # bucket width of 2 so the refine scan actually has to discriminate
+    rows = [
+        ("a", -5, 3), ("a", -5, 3), ("a", 0, 1), ("a", 7, 2),
+        ("b", 10, 1), ("b", 10, 1), ("b", 10, 1), ("b", 11, 2),
+        ("c", -(1 << 40), 1), ("c", 1 << 40, 1), ("c", 2, 1),
+    ]
+    tiny = spark.createDataFrame(rows, "_g string, _v long, _w long")
+    got2 = {
+        r._g: (r.wm_value, r.total_weight)
+        for r in grouped_weighted_median(
+            tiny, "_g", F.col("_v"), F.col("_w"), bucket_bits=1
+        ).collect()
+    }
+    assert got2 == naive(tiny)
