@@ -307,7 +307,11 @@ def latest_per_key(
 
 
 def sequential_ids(
-    df: DataFrame, order_cols: list[str], alias: str = "tid", start: int = 1
+    df: DataFrame,
+    order_cols: list[str],
+    alias: str = "tid",
+    start: int = 1,
+    total_alias: str | None = None,
 ) -> DataFrame:
     """Globally-sequential row numbers in `order_cols` order WITHOUT a
     single-partition window — the 100 TB form of SURVEY.md W2/P13
@@ -318,7 +322,12 @@ def sequential_ids(
     row_number runs per partition in parallel. Phase 2: per-partition
     counts prefix-sum into broadcast offsets — the only single-partition
     work is a window over n_partitions rows. Exact-equal to the global
-    window form by construction (asserted in tests)."""
+    window form by construction (asserted in tests).
+
+    total_alias: when set, the output also carries the TOTAL row count in
+    that column — it falls out of the phase-2 counts frame for free, so
+    consumers that need n (quantile binning, share-of-total) skip a
+    separate count job over the ranked frame."""
     # CHECKPOINT, not just lineage: repartitionByRange picks its range
     # bounds by sampling with a seed derived from the physical RDD id, so
     # two independent evaluations of the same plan can land rows in
@@ -343,7 +352,17 @@ def sequential_ids(
             ),
             F.lit(0).cast("long"),
         ),
-    ).select("_pid", "_offset")
+    )
+    if total_alias is not None:
+        offsets = offsets.withColumn(
+            total_alias,
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    offsets = offsets.drop("_n")
     return (
         ranged.withColumn("_rn", F.row_number().over(part_w))
         .join(F.broadcast(offsets), "_pid")

@@ -102,28 +102,43 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it never changes); each round shuffles only (node, pr) longs."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # shuffle-hash, not sort-merge: the orderkey join needs no order, and
+    # at 100 TB both fact sides are co-bucketable on orderkey anyway
     pairs = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
-    edges = pairs.selectExpr("c AS src", "s AS dst").union(
-        pairs.selectExpr("s AS src", "c AS dst")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # both directions in one pass (an explode, not a union that would
+    # evaluate the join+distinct subtree twice), then the out-degree via a
+    # src-partitioned window: ONE shuffle of the edge list, which leaves
+    # the checkpointed graph HASH-PARTITIONED ON src — the layout every
+    # iteration's join reuses below.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # ONE eager materialization of the loop-invariant graph. Without it the
     # unrolled rounds re-reference the distinct+degree subtree and the plan
     # grows multiplicatively (measured: 148 HashAggregates in the 3-round
     # DAG, 7-10 s at sf0.1); with it, every downstream reference is a local
-    # scan and the whole loop is graph-build + ONE lazy 3-round job
-    # (measured 2.8-3.9 s at sf0.1, long node ids). Everything derived from
-    # the graph (node list, degree, node count) reads the checkpoint, never
-    # the raw tables.
+    # scan and the whole loop is graph-build + ONE lazy 3-round job.
+    # Everything derived from the graph (node list, degree, node count)
+    # reads the checkpoint, never the raw tables. localCheckpoint records
+    # the physical hash(src) partitioning, so each iteration's
+    # edges ⋈ ranks join exchanges ONLY the (node, pr) rank rows — the
+    # GraphX communication pattern: edges stay put, ranks travel.
     edges_deg = (
-        edges.join(deg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
+        edges.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ).localCheckpoint(eager=True)
     )
     nn = edges_deg.select("src").distinct().agg(F.count(F.lit(1)).alias("_n"))
 
@@ -134,9 +149,13 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.expr(f"{_SCALE} div _n").alias("pr"))
     )
     for _ in range(_ITERS):
-        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
-            F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c")
-        )
+        # shuffle-hash join, build side = the rank table: per-task build is
+        # node_count/n_partitions (n_partitions scales with the cluster);
+        # no sort of the edge list, no exchange of the edge list, and from
+        # round 2 on the rank side arrives pre-partitioned by the groupBy
+        contrib = edges_deg.join(
+            ranks.hint("shuffle_hash"), edges_deg.src == ranks.node
+        ).select(F.col("dst").alias("node"), F.expr("pr div outdeg").alias("c"))
         ranks = (
             contrib.groupBy("node")
             .agg(F.sum("c").alias("sc"))
@@ -277,11 +296,18 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout per key is exactly 1 and the join output equals the bigram
     count (no blowup)."""
     d = spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.filter(F.split(_norm_text(), " "), lambda x: x != "").alias("t"),
-    ).filter(F.size("t") >= 2)
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.filter(F.split(_norm_text(), " "), lambda x: x != "").alias("t"),
+        )
+        .filter(F.size("t") >= 2)
+        # bg feeds BOTH the model aggregate and the scoring join below —
+        # pin the tokenized docs (doc-sized, not bigram-sized) so the
+        # regex normalize + split pass runs once, not per consumer
+        .localCheckpoint(eager=False)
+    )
     bg = toks.select(
         "doc_id",
         "lang",

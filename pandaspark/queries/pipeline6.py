@@ -333,10 +333,15 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         # word-order-insensitive content key: sorted distinct-token set
         F.sha2(F.array_join(F.array_sort(F.array_distinct(toks)), " "), 256).alias("bag"),
     )
-    rep = b.groupBy("bag").agg(F.count(F.lit(1)).alias("nb"))
-    dup = (F.col("nb") > 1).cast("long")
+    # corpus-wide bag multiplicity via ONE unordered window over the bag
+    # key (an exchange of the slim (keys, bag) rows) — NOT a groupBy +
+    # join-back, which would evaluate the expensive per-doc text subtree
+    # (normalize/split/distinct/sort/sha2) twice
+    from pyspark.sql import Window
+
+    dup = (F.count(F.lit(1)).over(Window.partitionBy("bag")) > 1).cast("long")
     return (
-        b.join(rep, "bag")
+        b.withColumn("_dup", dup)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -345,7 +350,7 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "avg_chars"
             ),
-            F.sum(dup).alias("n_bag_dups"),
+            F.sum("_dup").alias("n_bag_dups"),
         )
         .withColumn(
             "dup_share",

@@ -436,14 +436,16 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_known").cast("double") / F.col("n_bigrams")).alias("cov"),
     )
     # easy-first global rank (coverage desc) through the two-phase ranking;
-    # the ranked frame feeds the bin computation AND the total count
+    # the total count rides along from the ranking's own offsets frame
+    # (total_alias), so no separate count job / crossJoin is needed
     r = sequential_ids(
-        sc.withColumn("negcov", -F.col("cov")), ["negcov", "doc_id"], alias="rk"
-    ).localCheckpoint(eager=False)
-    n = r.agg(F.count(F.lit(1)).alias("n"))
+        sc.withColumn("negcov", -F.col("cov")),
+        ["negcov", "doc_id"],
+        alias="rk",
+        total_alias="n",
+    )
     b = (
-        r.crossJoin(F.broadcast(n))
-        .select(
+        r.select(
             "doc_id",
             "lang",
             "cov",

@@ -65,19 +65,31 @@ SELECT CAST((SELECT count(DISTINCT p) FROM li) AS BIGINT) AS n_nodes,
     "degree-oriented triangle counting on the bucketed co-purchase graph",
 )
 def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"),
-            F.pmod(F.col("l_partkey"), F.lit(_TC_BUCKETS)).alias("p"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    raw = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.pmod(F.col("l_partkey"), F.lit(_TC_BUCKETS)).alias("p"),
     )
-    a, b = li.alias("a"), li.alias("b")
+    # co-occurrence pairs WITHOUT a self-join: one groupBy(order) shuffle
+    # collects each order's distinct part-buckets (bounded by order size),
+    # and the x<y pairs explode map-side from the sorted array — the
+    # support aggregate is the only other edge-list shuffle
+    arr = (
+        raw.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .localCheckpoint(eager=False)  # pairs + n_nodes, one lineitem scan
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
     e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        arr.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("sup"))
         # strongest-ties cap: TakeOrdered of a bounded edge list, total
         # order (sup desc, x, y) so the kept set is deterministic
@@ -87,16 +99,18 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # undirected edges feed deg + orient + close
     )
     deg = (
-        e.select(F.col("x").alias("v"))
-        .unionByName(e.select(F.col("y").alias("v")))
+        e.select(F.explode(F.array(F.col("x"), F.col("y"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # orient joins + the n_edges total
     )
     # orient each edge from the lower-(degree, id) endpoint — the total
-    # order that bounds out-degree by sqrt(2m)
+    # order that bounds out-degree by sqrt(2m). deg is bounded by the
+    # FIXED _TC_BUCKETS node space, so broadcasting it is scale-safe by
+    # construction (not a small-SF accident).
     ed = (
-        e.join(deg.select(F.col("v").alias("x"), F.col("d").alias("dx")), "x")
-        .join(deg.select(F.col("v").alias("y"), F.col("d").alias("dy")), "y")
+        e.join(F.broadcast(deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))), "x")
+        .join(F.broadcast(deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))), "y")
     )
     kx = F.struct(F.col("dx").alias("kd"), F.col("x").alias("kn"))
     ky = F.struct(F.col("dy").alias("kd"), F.col("y").alias("kn"))
@@ -106,19 +120,27 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
         F.when(fwd, ky).otherwise(kx).alias("kv"),
     ).localCheckpoint(eager=False)  # wedge legs + closing edge
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # the oriented edge list is capped at _TC_TOP_EDGES rows at ANY data
+    # scale — broadcast it on both the wedge leg and the closing probe, so
+    # only the (potentially m^1.5-sized) wedge stream ever shuffles
+    o1 = oriented.alias("o1")
     wedges = o1.join(
-        o2,
+        F.broadcast(oriented.alias("o2")),
         (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.kv") < F.col("o2.kv")),
     ).select(F.col("o1.v").alias("wv"), F.col("o2.v").alias("ww"))
     # inner join, not left_semi: distinct centers u can produce the same
     # (wv, ww) wedge, and each closure is a distinct triangle
     tri = wedges.join(
-        oriented.select(F.col("u").alias("wv"), F.col("v").alias("ww")), ["wv", "ww"]
+        F.broadcast(oriented.select(F.col("u").alias("wv"), F.col("v").alias("ww"))),
+        ["wv", "ww"],
     )
+    # n_nodes from the checkpointed per-order arrays (no second lineitem
+    # scan); n_edges = sum(deg)/2 (every kept edge contributes two degree
+    # units), sparing a separate count pass over e
     return (
-        li.agg(F.count_distinct("p").alias("n_nodes"))
-        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        arr.select(F.explode("ps").alias("p"))
+        .agg(F.count_distinct("p").alias("n_nodes"))
+        .crossJoin(deg.agg((F.sum("d") / 2).cast("long").alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
 

@@ -491,3 +491,28 @@ def test_grouped_weighted_median_equals_global_window(spark):
         ).collect()
     }
     assert got2 == naive(tiny)
+
+
+def test_sequential_ids_total_alias(spark):
+    """total_alias must equal the frame's row count on every row, ride the
+    broadcast offsets join (no extra count job), and leave ids unchanged."""
+    from pyspark.sql import functions as F
+    from pandaspark.operators import sequential_ids
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    o = load(spark, SF_DIR, "orders")
+    got = sequential_ids(
+        o, ["o_orderdate", "o_orderkey"], alias="rk", total_alias="n"
+    ).select("o_orderkey", "rk", "n")
+    rows = got.collect()
+    n_rows = len(rows)
+    assert n_rows > 0
+    assert {r.n for r in rows} == {n_rows}
+    base = sequential_ids(o, ["o_orderdate", "o_orderkey"], alias="rk").select(
+        "o_orderkey", "rk"
+    )
+    assert {(r.o_orderkey, r.rk) for r in rows} == {
+        (r.o_orderkey, r.rk) for r in base.collect()
+    }
