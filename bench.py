@@ -103,6 +103,17 @@ def main() -> None:
     import gc as _gc
 
     def _release(i: int) -> None:
+        # deterministic eviction first: the finished query's localCheckpoint
+        # RDDs are dead (its frame was deleted) but stay cached until a GC
+        # cycle notices — unpersist every persistent RDD directly, so query
+        # i+1 never pays block-store rent for query i (measured: q138
+        # 3.26 s in-bench vs 0.94 s fresh before any hygiene; the GC-only
+        # form still left ~0.5 s/query of residue on checkpoint-heavy names)
+        # blocking=True: async removal bleeds block-manager work into the
+        # NEXT query's timed region (observed as random multi-second spikes)
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
         if i % 15 == 14:
             _gc.collect()
             spark._jvm.System.gc()

@@ -109,9 +109,36 @@ def spread(df: DataFrame) -> DataFrame:
     the cores. Measured at sf0.1: q70 2.37s -> 0.47s.
 
     Call it AFTER filters/column pruning (pushdown still reaches the scan;
-    the shuffle then carries only surviving rows of needed columns)."""
+    the shuffle then carries only surviving rows of needed columns).
+
+    The split-count probe reads the scan's file list (inputFiles), not
+    df.rdd — the RDD conversion forced a full physical planning + RDD
+    build per call on the driver. Local file sizes estimate splits with
+    the default 128 MiB split width; non-local / non-file plans fall back
+    to the RDD probe (never hit by the harness, which reads local
+    parquet)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    files = df.inputFiles()
+    if len(files) >= par:
+        return df
+    est: int | None = 0
+    for f in files:
+        if f.startswith("file:"):
+            import os
+            from urllib.parse import unquote, urlparse
+
+            try:
+                size = os.path.getsize(unquote(urlparse(f).path))
+            except OSError:
+                est = None
+                break
+            est += max(1, -(-size // (128 << 20)))
+        else:
+            est = None
+            break
+    if est is None or not files:
+        est = df.rdd.getNumPartitions()
+    if est < par:
         return df.repartition(par)
     return df
 

@@ -152,9 +152,12 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ((sha_int(F.col("event_id").cast("string")) % 65536) - 32768).alias("sample"),
     )
+    # pin: feats feeds the block unpivot, the norm aggregate AND the meta
+    # projection — without the checkpoint the WAV encode/decode Pandas
+    # stage (the expensive part) re-runs once per consumer
     feats = ev.groupBy("media_id").applyInPandas(
         _wav_roundtrip_features, _MEDIA_FEAT_SCHEMA
-    )
+    ).localCheckpoint(eager=False)
     # unpivot block sums -> (media_id, blk, bsum): the cosine stage is a
     # plain equi-join on blk with integer partials, mirroring the oracle
     stack_expr = ", ".join(f"{k}L, b{k}" for k in range(_N_BLOCKS))

@@ -245,11 +245,14 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: single-row-group fixture scans feed ONE partition, and the
     # 64-dim × K distance folds are the most compute-heavy map work in the
     # tranche — equalize before both assignment passes
+    # e feeds c0 and BOTH assignment passes — pin it so the scan + spread
+    # exchange run once, not once per reference (the a2 plan otherwise
+    # re-evaluates the scan subtree through c1 <- a1 <- e as well)
     e = spread(
         load(spark, sf_dir, "embeddings").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
         )
-    )
+    ).localCheckpoint(eager=False)
 
     def dist(v, c):
         # HOF fold, not an unrolled term chain — see similarity._dot for
@@ -279,18 +282,24 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def micro_mean(i: int):
-        # floor(x*1e6 + 0.5): three IEEE-exact ops, bit-identical in DuckDB
-        # (library round() diverges on knife-edge doubles — round4 docstring)
-        s = F.sum(F.floor(F.col("emb")[i] * 1000000 + F.lit(0.5)).cast("long"))
-        return s.cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1000000.0)
+    # floor(x*1e6 + 0.5): three IEEE-exact ops, bit-identical in DuckDB
+    # (library round() diverges on knife-edge doubles — round4 docstring).
+    # ONE parsed expr string, not 64 Column objects: building wide
+    # aggregates through per-dimension Python Column calls costs ~1.3 s of
+    # py4j round-trips PER QUERY BUILD (measured; execution itself is
+    # 0.4 s) — the SQL string is a single JVM-side parse.
+    micro_means = ", ".join(
+        f"cast(sum(cast(floor(emb[{i}] * 1000000 + 0.5d) as bigint)) as double)"
+        f" / cast(count(1) as double) / 1000000.0d"
+        for i in range(_KM_DIMS)
+    )
 
     c0 = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"), F.col("emb").alias("centroid")
     )
     a1 = assign(c0)
     c1 = a1.groupBy("cluster").agg(
-        F.array(*[micro_mean(i) for i in range(_KM_DIMS)]).alias("centroid")
+        F.expr(f"array({micro_means})").alias("centroid")
     )
     a2 = assign(c1)
     return a2.groupBy("cluster").agg(

@@ -73,11 +73,10 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collects each order's distinct part-buckets (bounded by order size),
     # and the x<y pairs explode map-side from the sorted array — the
     # support aggregate is the only other edge-list shuffle
-    arr = (
-        raw.groupBy("o")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-        .localCheckpoint(eager=False)  # pairs + n_nodes, one lineitem scan
-    )
+    # no checkpoint here: lazy localCheckpoint pays a planning+codegen
+    # round-trip per query BUILD (~0.3-0.5 s each on this chain), and the
+    # only other consumer (n_nodes) is a cheap count-distinct rescan
+    arr = raw.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pair_structs = F.flatten(
         F.transform(
             F.col("ps"),
@@ -102,8 +101,7 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.explode(F.array(F.col("x"), F.col("y"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)  # orient joins + the n_edges total
-    )
+    )  # recomputes read the e checkpoint: bounded, no checkpoint of its own
     # orient each edge from the lower-(degree, id) endpoint — the total
     # order that bounds out-degree by sqrt(2m). deg is bounded by the
     # FIXED _TC_BUCKETS node space, so broadcasting it is scale-safe by
@@ -134,12 +132,10 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(oriented.select(F.col("u").alias("wv"), F.col("v").alias("ww"))),
         ["wv", "ww"],
     )
-    # n_nodes from the checkpointed per-order arrays (no second lineitem
-    # scan); n_edges = sum(deg)/2 (every kept edge contributes two degree
-    # units), sparing a separate count pass over e
+    # n_edges = sum(deg)/2 (every kept edge contributes two degree units),
+    # sparing a separate count pass over e
     return (
-        arr.select(F.explode("ps").alias("p"))
-        .agg(F.count_distinct("p").alias("n_nodes"))
+        raw.agg(F.count_distinct("p").alias("n_nodes"))
         .crossJoin(deg.agg((F.sum("d") / 2).cast("long").alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
