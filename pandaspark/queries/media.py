@@ -29,8 +29,6 @@ builder-brief surface).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,40 +55,46 @@ _MEDIA_FEAT_SCHEMA = T.StructType(
 )
 
 
-def _wav_roundtrip_features(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
+def _wav_roundtrip_features(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per media group: samples -> REAL WAV bytes -> REAL decode ->
     features of the decoded samples. Imports stay inside the kernel
-    (executor-side)."""
+    (executor-side).
+
+    WHOLE-GROUP signature, not Iterator[pd.DataFrame]: the iterator form
+    is called once per ~10k-row ARROW BATCH, so any group larger than
+    spark.sql.execution.arrow.maxRecordsPerBatch silently became several
+    per-chunk WAV files and several feature rows — one row per media is
+    the contract every downstream join assumes. (Found by the 5x scaling
+    sweep: 7 rows/group at 62.5k samples; sf0.01 groups fit one batch and
+    hid it.) One media file per task is inherent to container encoding —
+    the same boundary binaryFile gives a real media lake."""
     import numpy as np
 
     from pandaspark.multimodal import decode_bytes, decode_wav_samples, encode_wav
 
-    for pdf in batches:
-        pdf = pdf.sort_values("event_id")
-        content = encode_wav(
-            pdf["sample"].to_numpy(dtype=np.int64).astype(np.int16), sample_rate=_RATE
-        )
-        meta = decode_bytes(content)  # magic dispatch -> wav branch
-        _, s = decode_wav_samples(content)
-        n = len(s)
-        idx = (np.arange(n, dtype=np.int64) * _N_BLOCKS) // max(n, 1)
-        bsum = np.bincount(idx, weights=s.astype(np.float64), minlength=_N_BLOCKS)
-        sign = s >= 0
-        row = {
-            "media_id": int(pdf["media_id"].iloc[0]),
-            "n_frames": int(meta["n_frames"]),
-            "sample_rate": int(meta["sample_rate"]),
-            "n_channels": int(meta["n_channels"]),
-            "sample_width": int(meta["sample_width"]),
-            "zcross": int(np.count_nonzero(sign[1:] != sign[:-1])),
-            "smin": int(s.min()),
-            "smax": int(s.max()),
-        }
-        for k in range(_N_BLOCKS):
-            row[f"b{k}"] = int(bsum[k])
-        yield pd.DataFrame([row], columns=[f.name for f in _MEDIA_FEAT_SCHEMA.fields])
+    pdf = pdf.sort_values("event_id")
+    content = encode_wav(
+        pdf["sample"].to_numpy(dtype=np.int64).astype(np.int16), sample_rate=_RATE
+    )
+    meta = decode_bytes(content)  # magic dispatch -> wav branch
+    _, s = decode_wav_samples(content)
+    n = len(s)
+    idx = (np.arange(n, dtype=np.int64) * _N_BLOCKS) // max(n, 1)
+    bsum = np.bincount(idx, weights=s.astype(np.float64), minlength=_N_BLOCKS)
+    sign = s >= 0
+    row = {
+        "media_id": int(pdf["media_id"].iloc[0]),
+        "n_frames": int(meta["n_frames"]),
+        "sample_rate": int(meta["sample_rate"]),
+        "n_channels": int(meta["n_channels"]),
+        "sample_width": int(meta["sample_width"]),
+        "zcross": int(np.count_nonzero(sign[1:] != sign[:-1])),
+        "smin": int(s.min()),
+        "smax": int(s.max()),
+    }
+    for k in range(_N_BLOCKS):
+        row[f"b{k}"] = int(bsum[k])
+    return pd.DataFrame([row], columns=[f.name for f in _MEDIA_FEAT_SCHEMA.fields])
 
 
 _Q201_ORACLE = f"""

@@ -537,3 +537,35 @@ def test_png_flows_through_decode_and_features(spark, tmp_path):
     feats = {r.path.rsplit("/", 1)[-1]: r.embedding
              for r in extract_features(media).collect()}
     assert feats["a.png"] == feats["b.bmp"] == feats["c.ppm"]
+
+
+def test_q201_kernel_one_row_per_media_across_arrow_batches(spark):
+    """The WAV kernel must emit ONE feature row per media group even when
+    the group spans several Arrow batches (the iterator-form regression:
+    one row per ~10k-row chunk, found by the 5x scaling sweep)."""
+    from pyspark.sql import functions as F
+
+    from pandaspark.queries import sha_int
+    from pandaspark.queries.media import (
+        _MEDIA_FEAT_SCHEMA,
+        _N_MEDIA,
+        _wav_roundtrip_features,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        ev = spark.range(2000).select(
+            (F.col("id") % _N_MEDIA).alias("media_id"),
+            F.col("id").alias("event_id"),
+            ((sha_int(F.col("id").cast("string")) % 65536) - 32768).alias("sample"),
+        )
+        feats = ev.groupBy("media_id").applyInPandas(
+            _wav_roundtrip_features, _MEDIA_FEAT_SCHEMA
+        )
+        rows = feats.collect()
+        assert len(rows) == _N_MEDIA
+        # every group carries all 2000/_N_MEDIA samples, not one chunk
+        assert {r.n_frames for r in rows} == {2000 // _N_MEDIA}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
