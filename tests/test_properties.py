@@ -420,7 +420,12 @@ def test_q154_nearest_join_equals_brute_force(spark, tmp_path_factory, events):
         r.event_id: (r.delta_us, r.click_side)
         for r in REGISTRY["q154_nearest_event_join"].fn(spark, str(tmp)).collect()
     }
-    us = {i: int((r[1] - base).total_seconds() * 1_000_000) for i, r in enumerate(rows)}
+    # exact integer microseconds: total_seconds() is a float and
+    # int(1.000001 * 1e6) truncates to 1000000 — hypothesis found the
+    # off-by-one against Spark's exact 1000001
+    us = {
+        i: (r[1] - base) // _dt.timedelta(microseconds=1) for i, r in enumerate(rows)
+    }
     tol = 600 * 1_000_000
     expect = {}
     for i, (u, t, _s) in enumerate(events):
