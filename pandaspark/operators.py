@@ -477,6 +477,121 @@ def ranked_running_total(
     )
 
 
+def grouped_quantiles_bucket_refine(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    qs: list[float],
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Exact interpolated quantiles per group by HISTOGRAM-REFINE selection
+    (the grouped_weighted_median pattern generalized to arbitrary rank
+    targets) — for near-unique integer domains where the distinct-value
+    histogram is corpus-sized, so both the object-hash percentile aggregate
+    AND the per-group cumulative window degenerate into per-group
+    stragglers.
+
+      1. bucket values coarsely (v >> bucket_bits): a tiny, map-side-
+         combinable (group, bucket) count histogram;
+      2. per-group prefix sums locate, for every quantile's two bracketing
+         ranks (lo = floor(p*(n-1))+1 and hi = min(lo+1, n), 1-based), the
+         ONE bucket containing that rank;
+      3. only those buckets' rows are re-scanned with a bucket-local
+         cumulative count; the rank values feed the same IEEE
+         interpolation `lo + frac*(hi-lo)` that F.percentile and DuckDB's
+         quantile_cont evaluate.
+    `value` must be integral (exact cents). Returns one row per group:
+    (group, n, q_<percent>) with the interpolated value in VALUE units.
+    Bit-equal to F.percentile (tests/test_operators.py)."""
+    one = F.lit(1)
+    vals = df.select(F.col(group_col).alias("_g"), value.alias("_v"))
+    bucket = F.shiftright(F.col("_v").cast("long"), bucket_bits)
+    ps = vals.groupBy("_g", bucket.alias("_b")).agg(F.count(one).alias("_s"))
+    off_w = (
+        Window.partitionBy("_g").orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = ps.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(off_w), F.lit(0).cast("long"))
+    )
+    tot = ps.groupBy("_g").agg(F.sum("_s").alias("_n"))
+    q_structs = F.array(*[F.struct(F.lit(float(q)).alias("_q")) for q in qs])
+    pos = F.col("_q") * (F.col("_n") - 1).cast("double")
+    ranks = (
+        tot.select("_g", "_n", F.explode(q_structs).alias("_t"))
+        .select("_g", "_n", F.col("_t._q").alias("_q"))
+        .select(
+            "_g",
+            "_q",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("_side"),
+                        (F.floor(pos).cast("long") + 1).alias("_r"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("_side"),
+                        F.least(F.floor(pos).cast("long") + 2, F.col("_n")).alias("_r"),
+                    ),
+                )
+            ).alias("_rs"),
+        )
+        .select("_g", "_q", F.col("_rs._side").alias("_side"), F.col("_rs._r").alias("_r"))
+    )
+    cross = (
+        ranks.join(off, "_g")
+        .filter((F.col("_off") < F.col("_r")) & (F.col("_off") + F.col("_s") >= F.col("_r")))
+        .select("_g", "_q", "_side", "_r", "_b", "_off")
+    )
+    needed = cross.select(F.col("_g").alias("_mg"), F.col("_b").alias("_cb"), "_off").distinct()
+    cand = vals.join(
+        F.broadcast(needed), (bucket == F.col("_cb")) & (F.col("_g") == F.col("_mg"))
+    )
+    cum_w = (
+        Window.partitionBy("_g", "_cb")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossed = cand.withColumn("_cum", F.sum(one).over(cum_w) + F.col("_off"))
+    picks = (
+        crossed.join(
+            F.broadcast(
+                cross.select(
+                    F.col("_g").alias("_tg"), "_q", "_side", "_r", F.col("_b").alias("_tb")
+                )
+            ),
+            (F.col("_g") == F.col("_tg")) & (F.col("_cb") == F.col("_tb")),
+        )
+        .filter(F.col("_cum") >= F.col("_r"))
+        .groupBy("_g", "_q", "_side")
+        .agg(F.min("_v").alias("_pv"))
+    )
+    aggs = []
+    for q in qs:
+        qd = float(q)
+        lo = F.min(
+            F.when((F.col("_q") == qd) & (F.col("_side") == "lo"), F.col("_pv"))
+        ).cast("double")
+        hi = F.min(
+            F.when((F.col("_q") == qd) & (F.col("_side") == "hi"), F.col("_pv"))
+        ).cast("double")
+        aggs.append((qd, lo, hi))
+    wide = picks.groupBy("_g").agg(
+        *[lo.alias(f"_lo_{i}") for i, (_, lo, _) in enumerate(aggs)],
+        *[hi.alias(f"_hi_{i}") for i, (_, _, hi) in enumerate(aggs)],
+    )
+    out = wide.join(F.broadcast(tot), "_g")
+    cols = [F.col("_g").alias(group_col), F.col("_n").alias("n")]
+    for i, q in enumerate(qs):
+        posd = F.lit(float(q)) * (F.col("_n") - 1).cast("double")
+        frac = posd - F.floor(posd)
+        cols.append(
+            (F.col(f"_lo_{i}") + frac * (F.col(f"_hi_{i}") - F.col(f"_lo_{i}"))).alias(
+                f"q_{str(q).replace('.', '_')}"
+            )
+        )
+    return out.select(*cols)
+
+
 def grouped_weighted_median(
     df: DataFrame,
     group_col: str,

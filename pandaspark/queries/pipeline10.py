@@ -160,6 +160,87 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment, bounding each task to block_size^2 work); ranking uses the
 # ROUNDED cosine with a vec_id tie-break so both engines rank identically.
 
+_NN_STRIP = 2048  # src-row strip width: per-task transient = strip x block
+_NN_SELF = -(1 << 60)  # self-pair sentinel, safe under negation (int64.min isn't)
+
+
+def _block_nn_kernel(pdf):
+    """Per label block: the full cosine matrix in numpy strips, reduced to
+    ONE row per vector — best neighbor (c4 DESC, dst ASC tie-break) and
+    the top-_MM_K neighborhood sum. The dense-linalg exception (see
+    pandaspark/vectorops.py, q45): numpy's pairwise summation differs from
+    the engines' sequential folds by <=1e-15 relative, which the 4-dp
+    floor-rounding absorbs — hash-match asserted at sf0.001/0.01/0.1, 5x
+    and 25x. The HOF-expression form of the same query ran 313 s at 25x
+    (250M pairs through the interpreted fold); this kernel is ~30x less.
+    Columns are sorted by vec_id so a STABLE argsort of -c4 realizes the
+    (c4 DESC, dst ASC) order exactly; all kept quantities are int64.
+    At 100 TB the block is a cluster assignment (q115's lesson: bound the
+    block, not the corpus), so block_size^2 is a design constant."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "label": pd.array([], dtype="int32"),
+            "src": pd.array([], dtype="int64"),
+            "bdst": pd.array([], dtype="int64"),
+            "c4": pd.array([], dtype="int64"),
+            "sk": pd.array([], dtype="int64"),
+            "nk": pd.array([], dtype="int64"),
+        }
+    )
+    n = len(pdf)
+    if n < 2:
+        return empty
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    label = np.int32(pdf["label"].iloc[0])
+    k = min(_MM_K, n - 1)
+    outs = []
+    for s0 in range(0, n, _NN_STRIP):
+        sl = slice(s0, min(s0 + _NN_STRIP, n))
+        cos = (mat[sl] @ mat.T) / np.outer(nrm[sl], nrm)
+        c4 = np.floor(cos * 1e4 + 0.5).astype(np.int64)
+        rows = np.arange(c4.shape[0])
+        c4[rows, s0 + rows] = _NN_SELF  # mask self-pairs
+        order = np.argsort(-c4, axis=1, kind="stable")
+        top = np.take_along_axis(c4, order[:, :k], axis=1)
+        best = order[:, 0]
+        outs.append(
+            pd.DataFrame(
+                {
+                    "label": np.full(len(rows), label, dtype=np.int32),
+                    "src": ids[sl],
+                    "bdst": ids[best],
+                    "c4": c4[rows, best],
+                    "sk": top.sum(axis=1),
+                    "nk": np.full(len(rows), k, dtype=np.int64),
+                }
+            )
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def _block_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("src", T.LongType()),
+            T.StructField("bdst", T.LongType()),
+            T.StructField("c4", T.LongType()),
+            T.StructField("sk", T.LongType()),
+            T.StructField("nk", T.LongType()),
+        ]
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e.groupBy("label").applyInPandas(_block_nn_kernel, schema)
+
+
 _Q142_ORACLE = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (
@@ -187,71 +268,16 @@ WHERE x.src < x.dst
     "reciprocal top-1 cosine pairs within label blocks (bitext-mining filter)",
 )
 def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import round4
-    from .similarity import _dot, _norm
-
-    # Per-pair math is the hot loop: norms are computed ONCE per vector
-    # (N fold passes, not 2 per pair), and each unordered pair's cosine is
-    # computed once on the src<dst half then mirrored — dot(b,a) is
-    # bit-equal to dot(a,b) (element-wise multiply commutes, fold order
-    # unchanged), so the mirrored rows hash-match the oracle's per-direction
-    # recomputation exactly. 6x less HOF work than the naive form.
-    e = spread(load(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", F.col("embedding").alias("v")
-    )
-    en = e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
-    a = en.select(
-        F.col("label"),
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = en.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    half = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") < F.col("dst")))
-        .select(
-            "label",
-            "src",
-            "dst",
-            round4(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-        )
-    )
-    # both directions in ONE pass (explode, not a union that would
-    # re-evaluate the join subtree per branch)
-    c = half.select(
+    # one kernel row per vector (best neighbor inside its label block),
+    # then reciprocity WITHOUT a self-join: a pair {a, b} is mutual exactly
+    # when BOTH directed best-rows land in its canonical (least, greatest)
+    # group — no checkpoint, no join, one tiny shuffle over N best-rows
+    g = _block_nn(spark, sf_dir)
+    bk = g.select(
+        F.least(F.col("src"), F.col("bdst")).alias("vec_a"),
+        F.greatest(F.col("src"), F.col("bdst")).alias("vec_b"),
         "label",
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
-                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
-            )
-        ).alias("p"),
-        "cosine",
-    ).select("label", F.col("p.s").alias("src"), F.col("p.d").alias("dst"), "cosine")
-    # top-1 per src as a hash aggregate (map-side partials; the sort-window
-    # equivalent shuffles + sorts every pair row). Tie-break matches the
-    # oracle's (cosine DESC, dst ASC): max_by on (cosine, -dst).
-    best = c.groupBy("src").agg(
-        F.max_by(
-            F.struct("label", "dst", "cosine"),
-            F.struct(F.col("cosine"), (-F.col("dst")).alias("nd")),
-        ).alias("m")
-    )
-    # reciprocity without a self-join: a pair {a, b} is mutual exactly when
-    # BOTH directed best-rows land in its canonical (least, greatest) group —
-    # no checkpoint, no join, one tiny shuffle over N best-rows
-    bk = best.select(
-        F.least(F.col("src"), F.col("m.dst")).alias("vec_a"),
-        F.greatest(F.col("src"), F.col("m.dst")).alias("vec_b"),
-        F.col("m.label").alias("label"),
-        F.col("m.cosine").alias("cosine"),
+        (F.col("c4") / 10000.0).alias("cosine"),
     )
     return (
         bk.groupBy("vec_a", "vec_b")
@@ -320,75 +346,10 @@ JOIN knn kb ON kb.src = m.vb
     "ratio-margin scores on reciprocal pairs (LASER bitext-mining criterion)",
 )
 def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _dot, _norm
-
-    # Same hot-loop discipline as q142: norm once per vector, compute each
-    # unordered pair's cosine once on the src<dst half, mirror the rest
-    # (bit-equal — element-wise multiply commutes, fold order unchanged).
-    e = spread(load(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", F.col("embedding").alias("v")
-    )
-    en = e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
-    a = en.select(
-        "label",
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = en.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    half = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") < F.col("dst")))
-        .select(
-            "label",
-            "src",
-            "dst",
-            F.floor(cos * 10000 + F.lit(0.5)).cast("long").alias("c4"),
-        )
-    )
-    c = half.select(
-        "label",
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
-                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
-            )
-        ).alias("p"),
-        "c4",
-    ).select("label", F.col("p.s").alias("src"), F.col("p.d").alias("dst"), "c4")
-    # ONE hash aggregate yields the best neighbor AND the top-K
-    # neighborhood sum per src (sort_array over a collect_list bounded by
-    # the label-block size — the same bound the all-pairs join already
-    # imposes, so no new memory class). Tie-break (c4 DESC, dst ASC) via
-    # the (c4, -dst) struct order, identical to the oracle's row_number.
-    g = c.groupBy("src").agg(
-        F.any_value("label").alias("label"),
-        F.max_by(
-            F.struct("dst", "c4"), F.struct(F.col("c4"), (-F.col("dst")).alias("nd"))
-        ).alias("m"),
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("c4"), (-F.col("dst")).alias("nd"))),
-                asc=False,
-            ),
-            1,
-            _MM_K,
-        ).alias("topk"),
-    ).select(
-        "src",
-        "label",
-        F.col("m.dst").alias("bdst"),
-        F.col("m.c4").alias("c4"),
-        F.aggregate(
-            F.col("topk"), F.lit(0).cast("long"), lambda acc, x: acc + x["c4"]
-        ).alias("sk"),
-        F.size("topk").cast("long").alias("nk"),
-    )
+    # the shared block kernel yields best neighbor AND the top-K
+    # neighborhood sum in one pass over each label block (see
+    # _block_nn_kernel for the exactness argument)
+    g = _block_nn(spark, sf_dir)
     # reciprocity without a self-join (q142's canonical-group trick), with
     # each endpoint's (sk, nk) recovered from whichever directed row
     # carried it — zero joins after the pair scan

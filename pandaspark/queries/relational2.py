@@ -25,54 +25,30 @@ GROUP BY l_returnflag
 
 @register("q27_quantiles", _Q27_ORACLE, "exact interpolated percentile over integer cents")
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact interpolated percentile as a HISTOGRAM plan, not the object-agg:
-    # F.percentile builds per-partition value→count hash maps and merges
-    # them single-threaded per group (~2.2s at sf0.1, 50x DuckDB). The same
-    # exact answer falls out of relational pieces that all stay in codegen:
-    #   1. hash-aggregate counts per (group, cents value) — map-side
-    #      partials shrink the shuffle to the distinct-value histogram;
-    #   2. a window per group over the DISTINCT values (domain-bounded:
-    #      integer cents, never rows) accumulates positions;
-    #   3. the interpolated value at rank p*(n-1) reads the two bracketing
-    #      histogram rows via conditional min-aggregates.
-    # Same continuous-percentile definition as F.percentile/quantile_cont:
-    # v = lo + frac * (hi - lo) on the 0-based rank p*(n-1) — the oracle is
-    # unchanged and still hash-matches. For truly continuous domains where
-    # even the histogram degenerates (distinct ≈ rows),
-    # operators.exact_quantiles_two_phase is the range-partitioned form
-    # (bit-identical by test).
-    li = spread(load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"))
-    c = cents("l_extendedprice")
-    hist = li.groupBy("l_returnflag", c.alias("c")).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy("c")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    n = F.sum("cnt").cast("long")
+    # Exact interpolated percentile by BUCKET-REFINE SELECTION, not the
+    # object-agg (F.percentile merges per-group value multisets
+    # single-threaded, ~2.2s at sf0.1, 50x DuckDB) and not a per-group
+    # cumulative window either: prices are near-unique, so the
+    # distinct-value histogram is corpus-sized and a window partitioned by
+    # the 3 return flags sorts the corpus in 3 straggler tasks. The
+    # operator buckets values coarsely, locates each bracketing rank's
+    # bucket from broadcast prefix sums, and re-scans only those buckets —
+    # nothing corpus-sized is sorted or shuffled at ANY scale. Same
+    # continuous-percentile definition as F.percentile/quantile_cont
+    # (v = lo + frac*(hi-lo) at 0-based rank p*(n-1)); the oracle is
+    # unchanged and still hash-matches. operators.exact_quantiles_two_phase
+    # remains the range-partitioned alternative (bit-identical by test).
+    from pandaspark.operators import grouped_quantiles_bucket_refine
 
-    def pct(p: float, alias: str):
-        # 0-based rank of the percentile in the sorted multiset; n is
-        # group-constant (joined from totals), so the row-level form feeds
-        # the conditional aggregates and the any_value form the final
-        # interpolation arithmetic
-        idx_row = F.lit(p) * (F.col("n") - 1).cast("double")
-        lo_pos = F.floor(idx_row).cast("long") + 1  # 1-based bracketing ranks
-        hi_pos = F.least(lo_pos + 1, F.col("n"))
-        # value at rank r = first histogram value whose cumulative count
-        # reaches r (c ascends with cum, so min() picks that row)
-        lo_v = F.min(F.when(F.col("cum") >= lo_pos, F.col("c"))).cast("double")
-        hi_v = F.min(F.when(F.col("cum") >= hi_pos, F.col("c"))).cast("double")
-        idx_g = F.lit(p) * (F.any_value("n") - 1).cast("double")
-        frac = idx_g - F.floor(idx_g)
-        return ((lo_v + frac * (hi_v - lo_v)) / 100.0).alias(alias)
-
-    totals = cum.groupBy("l_returnflag").agg(n.alias("n"))
-    return (
-        cum.join(F.broadcast(totals), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            pct(0.5, "median_price"),
-            pct(0.9, "p90_price"),
-            F.any_value("n").alias("n"),
-        )
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    qv = grouped_quantiles_bucket_refine(
+        li, "l_returnflag", cents("l_extendedprice"), [0.5, 0.9]
+    )
+    return qv.select(
+        "l_returnflag",
+        (F.col("q_0_5") / 100.0).alias("median_price"),
+        (F.col("q_0_9") / 100.0).alias("p90_price"),
+        "n",
     )
 
 

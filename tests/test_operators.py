@@ -516,3 +516,47 @@ def test_sequential_ids_total_alias(spark):
     assert {(r.o_orderkey, r.rk) for r in rows} == {
         (r.o_orderkey, r.rk) for r in base.collect()
     }
+
+
+def test_grouped_quantiles_bucket_refine_equals_builtin_percentile(spark):
+    """Bucket-refine selection must be bit-identical to F.percentile's
+    interpolated quantiles — on real near-unique data and on a tie-heavy
+    tiny frame with a torture bucket width."""
+    from pyspark.sql import functions as F
+    from pandaspark.operators import grouped_quantiles_bucket_refine
+    from pandaspark.queries import load
+
+    from .conftest import SF_DIR
+
+    def check(df, qs, bits):
+        got = {
+            r._g: tuple(r[f"q_{str(q).replace('.', '_')}"] for q in qs) + (r.n,)
+            for r in grouped_quantiles_bucket_refine(
+                df, "_g", F.col("_v"), qs, bucket_bits=bits
+            ).collect()
+        }
+        want = {
+            r._g: tuple(r[f"p{i}"] for i in range(len(qs))) + (r.n,)
+            for r in df.groupBy("_g")
+            .agg(
+                *[
+                    F.percentile(F.col("_v"), F.lit(q)).alias(f"p{i}")
+                    for i, q in enumerate(qs)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_returnflag").alias("_g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_v"),
+    )
+    check(li, [0.0, 0.25, 0.5, 0.9, 1.0], 10)
+
+    rows = [("a", v) for v in [5, 5, 5, 7, -3, -3, 11, 2]] + [
+        ("b", v) for v in [-(1 << 40), 1 << 40, 0]
+    ] + [("c", 42)]
+    tiny = spark.createDataFrame(rows, "_g string, _v long")
+    check(tiny, [0.1, 0.5, 0.99], 1)

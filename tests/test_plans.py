@@ -39,8 +39,16 @@ def test_no_python_row_udfs_in_plan(spark, name):
     # multimodal module; everything else must stay JVM-side.
     assert "ArrowEvalPython" not in plan, f"{name} uses Python UDFs in the hot path"
     # q201's kernel is the multimodal codec round trip (WAV encode/decode
-    # has no Catalyst expression) — file-granularity groups, Arrow-batched
-    _PANDAS_KERNEL_ALLOWED = {"q45_cosine_neardup", "q201_media_pipeline"}
+    # has no Catalyst expression) — file-granularity groups, Arrow-batched.
+    # q142/q143 share the dense-linalg block-NN kernel (pipeline10.py):
+    # the HOF-fold form of the same all-pairs cosine ran 30x slower at 25x
+    # data — same exception class as q45's block matmul.
+    _PANDAS_KERNEL_ALLOWED = {
+        "q45_cosine_neardup",
+        "q201_media_pipeline",
+        "q142_mutual_nn",
+        "q143_margin_mining",
+    }
     if name not in _PANDAS_KERNEL_ALLOWED:
         assert "MapInPandas" not in plan, f"{name} uses mapInPandas outside the dense-linalg exception"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} uses applyInPandas outside the dense-linalg exception"
