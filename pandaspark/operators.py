@@ -477,6 +477,24 @@ def ranked_running_total(
     )
 
 
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _require_integral(vals: DataFrame, col: str, op: str) -> None:
+    """The bucket-refine operators bucket via an arithmetic shift of the
+    value cast to long; a fractional value would truncate toward zero
+    (-0.5 and 0.5 share bucket 0), silently breaking the bucket-ordering
+    invariant and the exactness guarantee. Enforce the documented
+    'must be integral' precondition instead of trusting callers."""
+    dt = vals.schema[col].dataType
+    if not isinstance(dt, _INTEGRAL_TYPES):
+        raise TypeError(
+            f"{op} requires an integral column (got {dt.simpleString()}): "
+            "encode exact cents/longs first — fractional values truncate "
+            "toward zero and break the bucket-ordering invariant"
+        )
+
+
 def grouped_quantiles_bucket_refine(
     df: DataFrame,
     group_col: str,
@@ -505,6 +523,7 @@ def grouped_quantiles_bucket_refine(
     Bit-equal to F.percentile (tests/test_operators.py)."""
     one = F.lit(1)
     vals = df.select(F.col(group_col).alias("_g"), value.alias("_v"))
+    _require_integral(vals, "_v", "grouped_quantiles_bucket_refine(value)")
     bucket = F.shiftright(F.col("_v").cast("long"), bucket_bits)
     ps = vals.groupBy("_g", bucket.alias("_b")).agg(F.count(one).alias("_s"))
     off_w = (
@@ -628,6 +647,8 @@ def grouped_weighted_median(
     tests/test_operators.py). Returns one row per group:
     (group, value_alias = crossing value, total_alias)."""
     vals = df.select(F.col(group_col).alias("_g"), value.alias("_v"), weight.alias("_w"))
+    _require_integral(vals, "_v", "grouped_weighted_median(value)")
+    _require_integral(vals, "_w", "grouped_weighted_median(weight)")
     bucket = F.shiftright(F.col("_v").cast("long"), bucket_bits)
     ps = vals.groupBy("_g", bucket.alias("_b")).agg(F.sum("_w").alias("_s"))
     off_w = (
@@ -804,3 +825,31 @@ def merge_asof(
         *[F.col(c) for c in left.columns if c not in keys],
         *[F.col("__m").getField(c).alias(c) for c in payload_cols],
     )
+
+
+# --- data-dependent broadcast gate (LSH verify family: q55/q126/q175) ----
+#
+# The exact-verify stage of the near-dup pipelines joins the candidate-
+# bounded shingle frame back onto the candidate pairs. That side is tiny on
+# a clean corpus, but its size is corpus-dependent: a boilerplate-heavy
+# 100 TB web crawl can produce candidate sets far past Spark's 8 GB
+# broadcast hard limit, and an unconditional F.broadcast would then fail
+# the job outright. The gate measures the candidate-doc count (one 1-row
+# aggregate over the already-checkpointed pair list — the checkpoint must
+# materialize anyway, so the extra cost is one tiny job) and broadcasts
+# only under the threshold; above it the join falls back to an explicit
+# shuffle-hash hint: still a hash join, still candidate-bounded, never a
+# sort-merge of shingle arrays and never all-pairs.
+BROADCAST_GATE_MAX_ROWS = 100_000
+
+
+def gated_broadcast(df: DataFrame, n_rows: int, max_rows: int | None = None) -> DataFrame:
+    """Broadcast `df` only when its measured `n_rows` is under the gate;
+    otherwise return it hinted shuffle-hash so joins against it stay hash
+    joins without requiring driver-side materialization of an unbounded
+    side. `max_rows=None` reads the module default at call time so tests
+    can force the fallback path by patching BROADCAST_GATE_MAX_ROWS."""
+    gate = BROADCAST_GATE_MAX_ROWS if max_rows is None else max_rows
+    if n_rows <= gate:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")

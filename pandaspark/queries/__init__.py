@@ -96,6 +96,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _byte_conf(v: str) -> int:
+    """Parse a Spark byte-size conf value ('128MB', '4m', '134217728b',
+    bare digits) to bytes — the subset of JavaUtils.byteStringAs the
+    file-source confs use."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(v), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unparseable byte conf: {v!r}")
+    return int(m.group(1)) << {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}[
+        m.group(2).lower()
+    ]
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Equalize scan parallelism ahead of compute-bound per-row work.
 
@@ -113,30 +125,42 @@ def spread(df: DataFrame) -> DataFrame:
 
     The split-count probe reads the scan's file list (inputFiles), not
     df.rdd — the RDD conversion forced a full physical planning + RDD
-    build per call on the driver. Local file sizes estimate splits with
-    the default 128 MiB split width; non-local / non-file plans fall back
-    to the RDD probe (never hit by the harness, which reads local
-    parquet)."""
+    build per call on the driver. Local file sizes estimate the scan's
+    partition count with Spark's own packing formula (FilePartition.
+    maxSplitBytes: maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    paddedTotal/minPartitionNum)); partitions ≈ paddedTotal/maxSplitBytes),
+    read from the session conf — so small-file packing and a non-default
+    spark.sql.files.maxPartitionBytes both estimate correctly (a raw
+    len(files) >= cores check would skip a needed repartition when many
+    tiny files coalesce into few partitions). Non-local / non-file plans
+    fall back to the RDD probe (never hit by the harness, which reads
+    local parquet)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if len(files) >= par:
-        return df
-    est: int | None = 0
+    sizes: list[int] | None = []
     for f in files:
         if f.startswith("file:"):
             import os
             from urllib.parse import unquote, urlparse
 
             try:
-                size = os.path.getsize(unquote(urlparse(f).path))
+                sizes.append(os.path.getsize(unquote(urlparse(f).path)))
             except OSError:
-                est = None
+                sizes = None
                 break
-            est += max(1, -(-size // (128 << 20)))
         else:
-            est = None
+            sizes = None
             break
-    if est is None or not files:
+    if sizes:
+        conf = df.sparkSession.conf
+        max_pb = _byte_conf(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        open_cost = _byte_conf(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+        min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+        min_pn = int(min_pn) if min_pn else par
+        total = sum(s + open_cost for s in sizes)
+        max_split = min(max_pb, max(open_cost, -(-total // max(1, min_pn))))
+        est = max(1, -(-total // max(1, max_split)))
+    else:
         est = df.rdd.getNumPartitions()
     if est < par:
         return df.repartition(par)

@@ -55,9 +55,11 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed selection, not a per-group sort: prices are near-unique,
     so the (group, value) histogram is corpus-sized and a per-group
     cumulative window sorts the corpus in n_groups straggler tasks. The
-    operator range-partitions by (group, value), locates the half-weight
-    crossing partition from broadcast prefix sums, and scans only that
-    partition — bit-equal to the windowed form (test_operators.py)."""
+    operator (grouped_weighted_median) buckets values coarsely with an
+    arithmetic shift into a tiny map-side-combinable (group, bucket) weight
+    histogram, locates the half-weight crossing BUCKET from broadcast
+    prefix sums, and re-scans only that bucket's rows with a local
+    cumulative window — bit-equal to the windowed form (test_operators.py)."""
     from pandaspark.operators import grouped_weighted_median
 
     li = load(spark, sf_dir, "lineitem").select(

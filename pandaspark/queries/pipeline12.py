@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pandaspark import operators
+
 from . import load, register, round4, spread, sql_round4
 
 # --- q167: sorted-neighborhood dedup ----------------------------------------
@@ -769,19 +771,28 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # same candidate-bounded verify shape as q55: semi-join BEFORE the
-    # shingle projection, broadcast the candidate-sized array frame
+    # shingle projection; the candidate-sized array frame broadcasts only
+    # under the measured-count gate (shuffle-hash fallback — see
+    # operators.gated_broadcast)
+    n_cand_docs = cand_ids.count()
     sh = (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
         .select("doc_id", _norm_text().alias("t"))
         .select("doc_id", shingles.alias("sh"))
     )
     j = cand.join(
-        F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))),
+        operators.gated_broadcast(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            n_cand_docs,
+        ),
         "doc_a",
     ).join(
-        F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))),
+        operators.gated_broadcast(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            n_cand_docs,
+        ),
         "doc_b",
     )
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")

@@ -658,10 +658,14 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # broadcast gated on the measured candidate-doc count (shuffle-hash
+    # fallback): candidate volume is corpus-dependent and must not be able
+    # to blow the broadcast limit — see operators.gated_broadcast
+    n_cand_docs = cand_ids.count()
     sh = (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
         .select("doc_id", _norm_text().alias("t"))
         .select("doc_id", shingles.alias("sh"))
     )
@@ -669,11 +673,17 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_distinct(F.concat("sha", "shb"))).cast("double")
     return (
         est.join(
-            F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))),
+            operators.gated_broadcast(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
+                n_cand_docs,
+            ),
             "doc_a",
         )
         .join(
-            F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))),
+            operators.gated_broadcast(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
+                n_cand_docs,
+            ),
             "doc_b",
         )
         .select(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pandaspark import operators
+
 from . import load, register, round4, sha_int, spread, sql_sha_int
 
 
@@ -383,24 +385,35 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
+    # sh is candidate-sized (the semi-join bounds it to docs that appear in
+    # some pair), so the verify joins normally broadcast it — without a hint
+    # Catalyst costs the full documents scan and plans two sort-merge
+    # shuffles of the shingle-array column. But candidate volume is corpus-
+    # dependent, so the broadcast is GATED on the measured candidate-doc
+    # count (operators.gated_broadcast) with a shuffle-hash fallback: a
+    # boilerplate-heavy corpus degrades to hash joins instead of failing on
+    # an over-limit broadcast.
+    n_cand_docs = cand_ids.count()
     sh = (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
         .select("doc_id", _norm_text().alias("t"))
         .select("doc_id", shingles.alias("sh"))
     )
-    # sh is candidate-sized (the semi-join above bounds it to docs that
-    # appear in some pair), so both verify joins broadcast it — without the
-    # hint Catalyst costs the full documents scan and plans two sort-merge
-    # shuffles of the shingle-array column
     pairs = (
         cand.join(
-            F.broadcast(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))),
+            operators.gated_broadcast(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+                n_cand_docs,
+            ),
             "doc_a",
         )
         .join(
-            F.broadcast(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))),
+            operators.gated_broadcast(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+                n_cand_docs,
+            ),
             "doc_b",
         )
     )

@@ -65,10 +65,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 dbest = min(dbest, time.perf_counter() - t0)
-        ratio = (best - FLOOR) / dbest if spec.oracle else float("nan")
+        # clamp at zero: a sub-floor timing would print a negative ratio,
+        # which misreads as better-than-free in A/B comparisons
+        ratio = max(0.0, best - FLOOR) / dbest if spec.oracle else float("nan")
+        flag = "  (sub-floor)" if spec.oracle and best < FLOOR else ""
         print(
             f"{name:32s} spark {best:6.3f}s  duck {dbest:6.3f}s  "
-            f"judge-ratio {ratio:5.2f}",
+            f"judge-ratio {ratio:5.2f}{flag}",
             flush=True,
         )
     spark.stop()

@@ -560,3 +560,31 @@ def test_grouped_quantiles_bucket_refine_equals_builtin_percentile(spark):
     ] + [("c", 42)]
     tiny = spark.createDataFrame(rows, "_g string, _v long")
     check(tiny, [0.1, 0.5, 0.99], 1)
+
+
+def test_bucket_refine_operators_reject_fractional_values(spark):
+    """The bucket-refine operators shift the value cast to long; a
+    fractional value truncates toward zero (-0.5 and 0.5 share bucket 0)
+    and silently breaks the bucket-ordering invariant. The documented
+    'must be integral' precondition is enforced, not trusted."""
+    import pytest as _pytest
+
+    from pandaspark.operators import (
+        grouped_quantiles_bucket_refine,
+        grouped_weighted_median,
+    )
+
+    frac = spark.createDataFrame(
+        [("a", -0.5, 1), ("a", 0.5, 1)], "_g string, _v double, _w long"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        grouped_quantiles_bucket_refine(frac, "_g", F.col("_v"), [0.5])
+    with _pytest.raises(TypeError, match="integral"):
+        grouped_weighted_median(frac, "_g", F.col("_v"), F.col("_w"))
+    # fractional WEIGHT is also rejected (exact-long weights are the
+    # bit-equality precondition)
+    fw = spark.createDataFrame(
+        [("a", 1, 0.5), ("a", 2, 1.5)], "_g string, _v long, _w double"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        grouped_weighted_median(fw, "_g", F.col("_v"), F.col("_w"))
