@@ -377,9 +377,13 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sketches aggregate with map-side partials and constant-size
     shuffle payloads (m register rows / b bucket rows per group) — the
     scale contract count(DISTINCT) and exact medians can't offer. The
-    exact NDV and exact lower-median ride along as the error audit;
-    tests/test_layout.py bounds hll_rel_err and asserts the exact median
-    falls inside the reported median bucket.
+    exact NDV and exact lower-median ride along as the error audit,
+    sharing the sketches' own frames: duplicates can't change max(rho),
+    so ONE distinct-(flag, orderkey) frame feeds both the HLL registers
+    and the exact-NDV count, and the exact row count n comes from the
+    median leg's value-count histogram — no separate countDistinct pass
+    or third lineitem scan; tests/test_layout.py bounds hll_rel_err and
+    asserts the exact median falls inside the reported median bucket.
 
     Reference parity: beyond-reference (the reference has no approximate
     aggregates); the exact counterparts are q24/q27."""
@@ -388,8 +392,14 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
+    base = spread(li)  # one spread base → the scan/repartition is reused
+    # distinct keys serve the HLL (identical registers: max(rho) is
+    # duplicate-insensitive, and hashing fewer rows is strictly cheaper)
+    # AND the exact-NDV audit — the audit's distinct shuffle is the only
+    # corpus-keyed shuffle in the query
+    okd = base.select("l_returnflag", "l_orderkey").distinct()
     hv = sha_int(F.col("l_orderkey").cast("string"))
-    r = spread(li).select("l_returnflag", hv.alias("hv")).select(
+    r = okd.select("l_returnflag", hv.alias("hv")).select(
         "l_returnflag",
         (F.col("hv") % _Q58_HLL_M).alias("idx"),
         F.when(F.expr(f"hv div {_Q58_HLL_M}") == 0, F.lit(43))
@@ -409,13 +419,21 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(inv) + (F.lit(_Q58_HLL_M) - F.count(F.lit(1))) * F.lit(1.0))
         ).alias("hll_est"),
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
-    )
     # value histogram: per-(flag, cents) counts first, so the median
     # windows below run over distinct values / <=40 buckets, not rows
-    vc = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    vc = base.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # exact audit columns from the frames already built: n from the value
+    # histogram, exact NDV from the distinct-key frame (3-row joins)
+    exact = (
+        vc.groupBy("l_returnflag")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .join(
+            okd.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_orders")
+            ),
+            "l_returnflag",
+        )
+    )
     wv = (
         Window.partitionBy("l_returnflag")
         .orderBy("cents")
