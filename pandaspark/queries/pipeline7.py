@@ -206,17 +206,31 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary resolve to the PREVIOUS version — the non-trivial case a naive
 # latest-value join gets wrong.
 #
-# Plan shape: equi-join on the entity key with the interval predicate as a
-# join condition; intervals partition time per key, so each fact matches
-# at most one version (no dedup stage needed). At 100 TB this shuffles on
-# user_id once; the history side is run-compressed (far smaller than the
-# event log). Left join keeps facts that predate their first interval
-# (NULL attribute = "no feature available yet" — the honest answer).
+# Plan shape: because SCD2 intervals are CONTIGUOUS per key (valid_to =
+# next valid_from), "the version whose interval contains lookup_ts" is
+# exactly "the latest valid_from <= lookup_ts" — a backward AS-OF join.
+# The equality-join-plus-interval-filter form is quadratic per key
+# (|facts_k| x |versions_k| pair evaluations): the round-7 100x planted-
+# skew sweep measured it directly — a 20%-hot user (2M facts x ~1.6M
+# versions ~ 3e12 pairs) turned the Spark side into an hour-long single
+# straggler task and the DuckDB oracle had to be killed (docs/SCALING.md,
+# round-7 section). operators.asof_join_bucketed bounds every stage by
+# (key, time-bucket) instead — fanout is rows-per-bucket, never
+# facts x versions — and DuckDB's native sort-based ASOF JOIN keeps the
+# oracle linear-log. Zero-length intervals ([T, T), produced when several
+# runs share a valid_from via equal-ts events) can never match the
+# interval form, so both sides drop them up front; that also makes
+# valid_from unique per key, which is what makes ASOF unambiguous.
+# Left join keeps facts that predate their first interval (NULL attribute
+# = "no feature available yet" — the honest answer).
 
 from .pipeline5 import _Q117_ORACLE, q117  # noqa: E402
 
 _Q128_ORACLE = f"""
 WITH dim AS ({_Q117_ORACLE}),
+dim2 AS (
+  SELECT * FROM dim WHERE valid_to IS NULL OR valid_to > valid_from
+),
 f AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
          CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR AS lookup_ts
@@ -224,26 +238,32 @@ f AS (
 )
 SELECT f.event_id, f.user_id, f.ts,
        d.event_type AS attr_event_type, d.version, d.is_current
-FROM f LEFT JOIN dim d
-  ON d.user_id = f.user_id
- AND f.lookup_ts >= d.valid_from
- AND (d.valid_to IS NULL OR f.lookup_ts < d.valid_to)
+FROM f ASOF LEFT JOIN dim2 d
+  ON f.user_id = d.user_id AND f.lookup_ts >= d.valid_from
 """
 
 
 @register(
     "q128_pit_join",
     _Q128_ORACLE,
-    "point-in-time join: facts to the SCD2 version valid at fact time",
+    "point-in-time join: facts to the SCD2 version valid at fact time (bucketed as-of)",
 )
 def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dim = q117(spark, sf_dir).select(
-        F.col("user_id").alias("d_user"),
-        F.col("event_type").alias("attr_event_type"),
-        "valid_from",
-        "valid_to",
-        "version",
-        "is_current",
+    from pandaspark.operators import asof_join_bucketed
+
+    dim = (
+        q117(spark, sf_dir)
+        # zero-length intervals can never contain a lookup_ts; dropping
+        # them leaves valid_from unique per user (contiguity), the
+        # precondition both as-of forms share
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("attr_event_type"),
+            "valid_from",
+            "version",
+            "is_current",
+        )
     )
     f = load(spark, sf_dir, "events").select(
         "event_id",
@@ -251,22 +271,22 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lookup_ts"),
     )
-    return (
-        f.join(
-            dim,
-            (F.col("user_id") == F.col("d_user"))
-            & (F.col("lookup_ts") >= F.col("valid_from"))
-            & (F.col("valid_to").isNull() | (F.col("lookup_ts") < F.col("valid_to"))),
-            "left",
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "attr_event_type",
-            "version",
-            "is_current",
-        )
+    joined = asof_join_bucketed(
+        f,
+        dim,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="lookup_ts",
+        right_time="valid_from",
+        tiebreak=["version"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "attr_event_type",
+        "version",
+        "is_current",
     )
 
 
