@@ -96,6 +96,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+_SPREAD_CONF_CACHE: dict[int, tuple] = {}
+
+
 def _byte_conf(v: str) -> int:
     """Parse a Spark byte-size conf value ('128MB', '4m', '134217728b',
     bare digits) to bytes — the subset of JavaUtils.byteStringAs the
@@ -152,11 +155,21 @@ def spread(df: DataFrame) -> DataFrame:
             sizes = None
             break
     if sizes:
-        conf = df.sparkSession.conf
-        max_pb = _byte_conf(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-        open_cost = _byte_conf(conf.get("spark.sql.files.openCostInBytes", "4MB"))
-        min_pn = conf.get("spark.sql.files.minPartitionNum", None)
-        min_pn = int(min_pn) if min_pn else par
+        # conf reads are py4j round trips (~20 ms each, the documented
+        # driver-side cost class) and these values never change mid-
+        # session — cache per session object
+        sess = df.sparkSession
+        cached = _SPREAD_CONF_CACHE.get(id(sess))
+        if cached is None:
+            conf = sess.conf
+            cached = (
+                _byte_conf(conf.get("spark.sql.files.maxPartitionBytes", "128MB")),
+                _byte_conf(conf.get("spark.sql.files.openCostInBytes", "4MB")),
+                conf.get("spark.sql.files.minPartitionNum", None),
+            )
+            _SPREAD_CONF_CACHE[id(sess)] = cached
+        max_pb, open_cost, min_pn_raw = cached
+        min_pn = int(min_pn_raw) if min_pn_raw else par
         total = sum(s + open_cost for s in sizes)
         max_split = min(max_pb, max(open_cost, -(-total // max(1, min_pn))))
         est = max(1, -(-total // max(1, max_split)))
