@@ -86,6 +86,100 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert g == w and len(g) > 0
 
 
+def test_interval_join_sub_buckets_hot_key_parity(spark, tmp_path):
+    """q177's skew mitigation as a real operator: a planted hot key (user 0
+    carries 60 clicks x 60 views inside one lookback window — the
+    output-quadratic regime from docs/SCALING.md) must produce IDENTICAL
+    pairs through the sub-bucketed join, the unsalted join, and the batch
+    mirror, across real micro-batch boundaries."""
+    import datetime as dt
+
+    from pandaspark.streaming import EVENTS_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for i in range(60):  # hot user: every view falls in every click's window
+        rows.append((eid, t0 + dt.timedelta(seconds=10 * i), 0, "click", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=10 * i + 5), 0, "view", 1.0, "{}"))
+        eid += 1
+    for u in range(1, 21):  # cold users: one pair each
+        rows.append((eid, t0 + dt.timedelta(minutes=u), u, "click", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=u) - dt.timedelta(seconds=30), u, "view", 1.0, "{}"))
+        eid += 1
+    batch = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    d = str(tmp_path / "hot_events")
+    # 4 files -> 4 micro-batches at maxFilesPerTrigger=1: matching pairs
+    # arrive in different batches and must meet through join state
+    batch.repartition(4).write.parquet(d)
+
+    a = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event"), F.col("ts").alias("click_ts")
+    )
+    b = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_event"), F.col("ts").alias("view_ts")
+    )
+    want = {
+        (r.user_id, r.click_event, r.view_event)
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("view_ts") <= F.col("click_ts")),
+        ).collect()
+    }
+    # the hot key really is output-quadratic: each click pairs with every
+    # PRECEDING hot view -> n(n-1)/2 pairs, plus one per cold user
+    assert len(want) == 60 * 59 // 2 + 20
+
+    got_salted = {
+        (r.user_id, r.click_event, r.view_event)
+        for r in run_to_memory(
+            interval_join(read_event_stream(spark, d, max_files_per_trigger=1), sub_buckets=4),
+            "ss_join_salted",
+        ).collect()
+    }
+    got_plain = {
+        (r.user_id, r.click_event, r.view_event)
+        for r in run_to_memory(
+            interval_join(read_event_stream(spark, d, max_files_per_trigger=1)),
+            "ss_join_plain",
+        ).collect()
+    }
+    assert got_salted == want
+    assert got_plain == want
+
+
+def test_interval_join_sub_buckets_shard_the_state_key(spark, events_dir):
+    """Plan + sharding gate: the bucket participates in the join's equi-key
+    (so the state store partitions on (user_id, bucket), not user_id alone),
+    and the deterministic salt actually spreads a single hot key over all
+    sub-buckets (the whole point of the mitigation)."""
+    stream = read_event_stream(spark, events_dir)
+    salted = interval_join(stream, sub_buckets=4)
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    assert "_bkt" in plan and "_vbkt" in plan
+    plain_plan = interval_join(stream)._jdf.queryExecution().analyzed().toString()
+    assert "_bkt" not in plain_plan
+    # output schema is unchanged — the bucket never leaks to consumers
+    assert salted.columns == ["user_id", "click_event", "view_event"]
+
+    # one key's click rows must land in every sub-bucket: same expression
+    # the operator salts with, evaluated on the batch frame
+    from pandaspark.queries import load
+
+    clicks = load(spark, SF_DIR, "events").filter(F.col("event_type") == "click")
+    hot = clicks.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    n_buckets = (
+        clicks.filter(F.col("user_id") == hot)
+        .select(F.pmod(F.xxhash64("event_id"), F.lit(4)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 4
+
+
 @pytest.fixture()
 def media_dir(tmp_path):
     files = {
