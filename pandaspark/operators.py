@@ -487,6 +487,11 @@ def _require_integral(vals: DataFrame, col: str, op: str) -> None:
     invariant and the exactness guarantee. Enforce the documented
     'must be integral' precondition instead of trusting callers."""
     dt = vals.schema[col].dataType
+    # DecimalType(p, 0) is exactly integral and buckets correctly after the
+    # cast to long, provided it FITS a long (p <= 18; 19-digit decimals can
+    # exceed Long.MaxValue and the cast would silently null/wrap)
+    if isinstance(dt, T.DecimalType) and dt.scale == 0 and dt.precision <= 18:
+        return
     if not isinstance(dt, _INTEGRAL_TYPES):
         raise TypeError(
             f"{op} requires an integral column (got {dt.simpleString()}): "
@@ -840,16 +845,33 @@ def merge_asof(
 # only under the threshold; above it the join falls back to an explicit
 # shuffle-hash hint: still a hash join, still candidate-bounded, never a
 # sort-merge of shingle arrays and never all-pairs.
-BROADCAST_GATE_MAX_ROWS = 100_000
+# Spark's broadcast limits are BYTE-based (8 GB relation hard limit,
+# driver + per-executor hash-relation memory), so the gate is too: the
+# caller supplies an estimated per-row payload width along with the
+# measured row count. A raw row gate silently under-gated the shingle
+# frames, whose array columns run kilobytes per row on long documents.
+BROADCAST_GATE_MAX_BYTES = 256 << 20  # comfortably under the 8 GB hard limit
+# per-row estimates for the two frame shapes this family gates:
+ID_ROW_BYTES = 16  # one long key + row overhead
+# a K-char-shingle array is ~n_chars strings of K bytes each plus per-
+# element overhead; 32 KiB covers ~1k-char docs with margin. Corpora with
+# much longer docs should pass a measured estimate instead.
+SHINGLE_ROW_BYTES = 32 << 10
 
 
-def gated_broadcast(df: DataFrame, n_rows: int, max_rows: int | None = None) -> DataFrame:
-    """Broadcast `df` only when its measured `n_rows` is under the gate;
-    otherwise return it hinted shuffle-hash so joins against it stay hash
-    joins without requiring driver-side materialization of an unbounded
-    side. `max_rows=None` reads the module default at call time so tests
-    can force the fallback path by patching BROADCAST_GATE_MAX_ROWS."""
-    gate = BROADCAST_GATE_MAX_ROWS if max_rows is None else max_rows
-    if n_rows <= gate:
+def gated_broadcast(
+    df: DataFrame,
+    n_rows: int,
+    row_bytes: int = ID_ROW_BYTES,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Broadcast `df` only when its estimated size (measured `n_rows` x
+    caller-estimated `row_bytes`) is under the byte gate; otherwise return
+    it hinted shuffle-hash so joins against it stay hash joins without
+    requiring driver-side materialization of an unbounded side.
+    `max_bytes=None` reads the module default at call time so tests can
+    force the fallback path by patching BROADCAST_GATE_MAX_BYTES."""
+    gate = BROADCAST_GATE_MAX_BYTES if max_bytes is None else max_bytes
+    if n_rows * row_bytes <= gate:
         return F.broadcast(df)
     return df.hint("shuffle_hash")

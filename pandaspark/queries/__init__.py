@@ -20,6 +20,7 @@ Cross-engine determinism conventions (oracle value-hash is exact):
 from __future__ import annotations
 
 import re
+import weakref
 
 from dataclasses import dataclass, field
 from typing import Callable
@@ -96,7 +97,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-_SPREAD_CONF_CACHE: dict[int, tuple] = {}
+# Weak-keyed so an entry dies WITH its session: a dict keyed on
+# id(session) silently served a stopped session's confs to a new session
+# allocated at the same address (reachable in multi-session test runs).
+# Entries still assume the file-source confs don't change mid-session —
+# they are runtime-settable, but a mid-session change only staled a perf
+# estimate, never a result.
+_SPREAD_CONF_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _byte_conf(v: str) -> int:
@@ -159,7 +168,7 @@ def spread(df: DataFrame) -> DataFrame:
         # driver-side cost class) and these values never change mid-
         # session — cache per session object
         sess = df.sparkSession
-        cached = _SPREAD_CONF_CACHE.get(id(sess))
+        cached = _SPREAD_CONF_CACHE.get(sess)
         if cached is None:
             conf = sess.conf
             cached = (
@@ -167,12 +176,19 @@ def spread(df: DataFrame) -> DataFrame:
                 _byte_conf(conf.get("spark.sql.files.openCostInBytes", "4MB")),
                 conf.get("spark.sql.files.minPartitionNum", None),
             )
-            _SPREAD_CONF_CACHE[id(sess)] = cached
+            _SPREAD_CONF_CACHE[sess] = cached
         max_pb, open_cost, min_pn_raw = cached
         min_pn = int(min_pn_raw) if min_pn_raw else par
         total = sum(s + open_cost for s in sizes)
         max_split = min(max_pb, max(open_cost, -(-total // max(1, min_pn))))
         est = max(1, -(-total // max(1, max_split)))
+    elif len(files) >= par:
+        # non-local (s3/hdfs) many-file scan: at >= cores files the scan
+        # already feeds every core (packing only ever REDUCES partition
+        # count for tiny files, and a no-op repartition-skip is the safe
+        # default), so don't pay the full physical-planning RDD probe at
+        # exactly the scale this function is designed for
+        est = par
     else:
         est = df.rdd.getNumPartitions()
     if est < par:

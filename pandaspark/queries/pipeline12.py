@@ -786,12 +786,14 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         operators.gated_broadcast(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
             n_cand_docs,
+            row_bytes=operators.SHINGLE_ROW_BYTES,
         ),
         "doc_a",
     ).join(
         operators.gated_broadcast(
             sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
             n_cand_docs,
+            row_bytes=operators.SHINGLE_ROW_BYTES,
         ),
         "doc_b",
     )

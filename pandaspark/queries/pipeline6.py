@@ -676,6 +676,7 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
             operators.gated_broadcast(
                 sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
                 n_cand_docs,
+                row_bytes=operators.SHINGLE_ROW_BYTES,
             ),
             "doc_a",
         )
@@ -683,6 +684,7 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
             operators.gated_broadcast(
                 sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
                 n_cand_docs,
+                row_bytes=operators.SHINGLE_ROW_BYTES,
             ),
             "doc_b",
         )

@@ -406,6 +406,7 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
             operators.gated_broadcast(
                 sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
                 n_cand_docs,
+                row_bytes=operators.SHINGLE_ROW_BYTES,
             ),
             "doc_a",
         )
@@ -413,6 +414,7 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
             operators.gated_broadcast(
                 sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
                 n_cand_docs,
+                row_bytes=operators.SHINGLE_ROW_BYTES,
             ),
             "doc_b",
         )

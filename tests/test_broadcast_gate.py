@@ -65,7 +65,7 @@ def test_gate_fallback_matches_broadcast_path(spark, neardup_dir, qname, monkeyp
     # force the fallback: the verify joins must become shuffle-hash joins —
     # still hash, still candidate-bounded, no all-pairs / nested-loop plan,
     # and no unconditional broadcast of an (assumed-)unbounded side
-    monkeypatch.setattr(operators, "BROADCAST_GATE_MAX_ROWS", 0)
+    monkeypatch.setattr(operators, "BROADCAST_GATE_MAX_BYTES", 0)
     df_s = fn(spark, neardup_dir)
     plan = _plan(df_s)
     assert "ShuffledHashJoin" in plan, "gate fallback did not plan shuffle-hash joins"
@@ -77,14 +77,18 @@ def test_gate_fallback_matches_broadcast_path(spark, neardup_dir, qname, monkeyp
 
 def test_gated_broadcast_unit(spark, monkeypatch):
     df = spark.range(5)
-    # under the gate → broadcast hint
-    hinted = operators.gated_broadcast(df, 5, max_rows=10)
+    # under the byte gate → broadcast hint
+    hinted = operators.gated_broadcast(df, 5, row_bytes=16, max_bytes=100)
     assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
     # over the gate → shuffle-hash hint, never a bare frame
-    fallback = operators.gated_broadcast(df, 11, max_rows=10)
+    fallback = operators.gated_broadcast(df, 11, row_bytes=16, max_bytes=100)
     logical = fallback._jdf.queryExecution().logical().toString().lower()
     assert "shuffle_hash" in logical
-    # max_rows=None reads the module constant at call time (test seam)
-    monkeypatch.setattr(operators, "BROADCAST_GATE_MAX_ROWS", 0)
+    # the gate is byte-based: the same row count over-gates once the
+    # caller declares a fat per-row payload (the shingle-array case)
+    fat = operators.gated_broadcast(df, 5, row_bytes=operators.SHINGLE_ROW_BYTES, max_bytes=100)
+    assert "shuffle_hash" in fat._jdf.queryExecution().logical().toString().lower()
+    # max_bytes=None reads the module constant at call time (test seam)
+    monkeypatch.setattr(operators, "BROADCAST_GATE_MAX_BYTES", 0)
     patched = operators.gated_broadcast(df, 1)
     assert "shuffle_hash" in patched._jdf.queryExecution().logical().toString().lower()

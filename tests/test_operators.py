@@ -588,3 +588,36 @@ def test_bucket_refine_operators_reject_fractional_values(spark):
     )
     with _pytest.raises(TypeError, match="integral"):
         grouped_weighted_median(fw, "_g", F.col("_v"), F.col("_w"))
+
+
+def test_bucket_refine_accepts_scale0_decimal(spark):
+    """DecimalType(p, 0) with p <= 18 is exactly integral and fits a long,
+    so it buckets correctly after the internal cast — accepted, and the
+    result matches the same data as plain longs. Wider or scaled decimals
+    stay rejected (19 digits can exceed Long.MaxValue; scale > 0 is
+    fractional)."""
+    import pytest as _pytest
+
+    from pandaspark.operators import grouped_quantiles_bucket_refine
+
+    rows = [("a", v) for v in [5, 5, 7, -3, 11, 2]] + [("b", v) for v in [0, 9, 4]]
+    dec = spark.createDataFrame(rows, "_g string, _v long").select(
+        "_g", F.col("_v").cast("decimal(12,0)").alias("_v")
+    )
+    got = {
+        r._g: r.q_0_5
+        for r in grouped_quantiles_bucket_refine(dec, "_g", F.col("_v"), [0.5]).collect()
+    }
+    lng = spark.createDataFrame(rows, "_g string, _v long")
+    want = {
+        r._g: r.q_0_5
+        for r in grouped_quantiles_bucket_refine(lng, "_g", F.col("_v"), [0.5]).collect()
+    }
+    assert got == want and len(got) == 2
+
+    wide = dec.select("_g", F.col("_v").cast("decimal(19,0)").alias("_v"))
+    with _pytest.raises(TypeError, match="integral"):
+        grouped_quantiles_bucket_refine(wide, "_g", F.col("_v"), [0.5])
+    scaled = dec.select("_g", F.col("_v").cast("decimal(12,2)").alias("_v"))
+    with _pytest.raises(TypeError, match="integral"):
+        grouped_quantiles_bucket_refine(scaled, "_g", F.col("_v"), [0.5])

@@ -190,6 +190,34 @@ def test_spread_keeps_pushdown_and_pruning_at_the_scan(spark):
     assert "text" in read_schema and "source" not in read_schema
 
 
+def test_spread_conf_cache_is_per_session_and_dies_with_it(spark):
+    """Two sessions with different file-source confs must each see their
+    OWN packing estimate (the cache was once keyed on id(session), so a
+    GC'd session could bequeath its confs to a new session at the same
+    address), and a session's cache entry must die with the session."""
+    import gc
+
+    from pandaspark.queries import _SPREAD_CONF_CACHE, spread
+
+    from .conftest import SF_DIR
+
+    p = f"{SF_DIR}/documents.parquet"
+    s1, s2 = spark.newSession(), spark.newSession()
+    # 1-byte splits -> estimate ~= file bytes >= cores -> spread is a no-op
+    s1.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+    # 256MB splits -> one small file packs to 1 partition -> must repartition
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "256mb")
+    df1, df2 = s1.read.parquet(p), s2.read.parquet(p)
+    assert spread(df1) is df1
+    assert spread(df2) is not df2
+    assert _SPREAD_CONF_CACHE[s1] != _SPREAD_CONF_CACHE[s2]
+
+    before = len(_SPREAD_CONF_CACHE)
+    del df1, s1
+    gc.collect()
+    assert len(_SPREAD_CONF_CACHE) < before
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
     """Runtime Bloom-filter join pruning — the 100 TB lever for selective
     fact⋈dim SHUFFLE joins (broadcast joins get pushed filters instead):
