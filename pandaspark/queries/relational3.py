@@ -13,7 +13,6 @@ from . import (
     register,
     round4,
     sha_int,
-    spread,
     sql_cents_sum,
     sql_round4,
     sql_sha_int,
@@ -384,6 +383,10 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     median leg's value-count histogram — no separate countDistinct pass
     or third lineitem scan; tests/test_layout.py bounds hll_rel_err and
     asserts the exact median falls inside the reported median bucket.
+    The exact-median window runs over that per-(flag, cents) histogram,
+    whose size is bounded by the cents DOMAIN (~1.1M distinct values for
+    TPC-H extendedprice), not the corpus — so the per-flag sort stays a
+    capped single-task job at any data scale.
 
     Reference parity: beyond-reference (the reference has no approximate
     aggregates); the exact counterparts are q24/q27."""
@@ -392,7 +395,13 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    base = spread(li)  # one spread base → the scan/repartition is reused
+    # no spread(): both consumers are aggregations with map-side partials,
+    # so the per-row map work (round+cast) is too light to pay a full
+    # round-robin shuffle for — interleaved A/B at sf0.1 measured the
+    # spread form ~0.5s slower (1.8s vs 1.3s) because the repartition
+    # exchange dominates; at scale spread is a no-op on many-split tables
+    # anyway, so dropping it is scale-neutral
+    base = li
     # distinct keys serve the HLL (identical registers: max(rho) is
     # duplicate-insensitive, and hashing fewer rows is strictly cheaper)
     # AND the exact-NDV audit — the audit's distinct shuffle is the only
