@@ -218,6 +218,56 @@ def test_spread_conf_cache_is_per_session_and_dies_with_it(spark):
     assert len(_SPREAD_CONF_CACHE) < before
 
 
+def test_spread_short_circuits_nonlocal_many_file_scans(spark):
+    """A non-local (s3/hdfs) scan with >= cores files must return unchanged
+    WITHOUT the RDD partition probe (full physical planning on the driver)
+    and without a repartition — the safe default at exactly the 100 TB
+    scale spread() is designed for (packing only reduces partition count
+    for tiny files)."""
+    from pandaspark.queries import spread
+
+    par = spark.sparkContext.defaultParallelism
+
+    class _FakeScan:
+        sparkSession = spark
+
+        def inputFiles(self):
+            return [f"s3a://bucket/part-{i:05d}.parquet" for i in range(par)]
+
+        @property
+        def rdd(self):
+            raise AssertionError("non-local many-file scan paid the RDD probe")
+
+        def repartition(self, n):
+            raise AssertionError("non-local many-file scan was repartitioned")
+
+    fake = _FakeScan()
+    assert spread(fake) is fake
+
+    # under the file-count threshold the fallback probe is still reached
+    class _FewFiles(_FakeScan):
+        probed = False
+
+        def inputFiles(self):
+            return ["s3a://bucket/part-00000.parquet"]
+
+        @property
+        def rdd(self):
+            class _R:
+                @staticmethod
+                def getNumPartitions():
+                    _FewFiles.probed = True
+                    return 1
+
+            return _R()
+
+        def repartition(self, n):
+            return ("repartitioned", n)
+
+    assert spread(_FewFiles()) == ("repartitioned", par)
+    assert _FewFiles.probed
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
     """Runtime Bloom-filter join pruning — the 100 TB lever for selective
     fact⋈dim SHUFFLE joins (broadcast joins get pushed filters instead):
