@@ -118,10 +118,22 @@ def main() -> None:
             _gc.collect()
             spark._jvm.System.gc()
 
-    for r in range(runs):
-        if r > 0 and time.perf_counter() - bench_t0 > budget * 0.5:
-            break
-        for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
+    # Min-of-N runs are CONSECUTIVE per query, not pass-structured: with
+    # full passes over 201 queries, every repeat of a query arrives after
+    # ~200 other plans have churned the JVM codegen/JIT caches, so each
+    # "repeat" re-pays a warmup the steady state never would (measured at
+    # sf0.1: q58 post-churn first run 3.1 s vs 2.1-2.4 s consecutive —
+    # min-of-3 passes converges to the churned number, never the steady
+    # one). Consecutive runs measure the query's steady state, which is
+    # what a cluster running the query over real data volumes would see.
+    # _release still runs between runs so run k+1 never reads run k's
+    # cached checkpoint blocks.
+    spark_passes = runs
+    for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
+        for r in range(runs):
+            if r > 0 and time.perf_counter() - bench_t0 > budget * 0.5:
+                spark_passes = min(spark_passes, r)
+                break
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -129,7 +141,6 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             del df
             _release(i)
-        spark_passes = r + 1
 
     total = round(sum(timings.values()), 3)
 
@@ -151,17 +162,19 @@ def main() -> None:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        for r in range(runs):
-            if r > 0 and time.perf_counter() - bench_t0 > budget:
-                break
-            for name, spec in sorted(REGISTRY.items()):
-                if spec.oracle is None:
-                    continue
+        # same consecutive min-of-N structure as the Spark half (symmetry)
+        duck_passes = runs
+        for name, spec in sorted(REGISTRY.items()):
+            if spec.oracle is None:
+                continue
+            for r in range(runs):
+                if r > 0 and time.perf_counter() - bench_t0 > budget:
+                    duck_passes = min(duck_passes, r)
+                    break
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 dt = round(time.perf_counter() - t0, 3)
                 duck[name] = min(duck.get(name, dt), dt)
-            duck_passes = r + 1
         con.close()
 
     # Constant-in-data-size per-query floor (job scheduling + plan build),
