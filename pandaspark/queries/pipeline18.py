@@ -156,6 +156,12 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_tk = scored.withColumn("rk", F.row_number().over(wk)).filter(
         F.col("rk") <= _K
     )
+    # scanned-fraction needs only CANDIDATE COUNTS, never the cosines:
+    # counting through `scored` would evaluate the probe-join + fold-cosine
+    # subtree a second time (the window and the count agg partition
+    # differently, so the plan can't share the exchange). Per probe row the
+    # candidate count is |cell| minus 1 iff the query's own vector lives in
+    # that cell — derivable from a K-row per-cell count broadcast.
     # exact baseline: brute force over all (q, e) pairs
     qe_all = q.crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
     ecos = round4(
@@ -173,8 +179,22 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
-    scanned = scored.groupBy("nprobe").agg(
-        F.count(F.lit(1)).cast("long").alias("n_scanned")
+    lbl_cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    qlab = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    scanned = (
+        probes.join(F.broadcast(lbl_cnt), F.col("cell") == F.col("label"))
+        .join(F.broadcast(qlab), "qid")
+        .groupBy("nprobe")
+        .agg(
+            (
+                F.sum("cnt")
+                - F.sum(F.when(F.col("cell") == F.col("qlabel"), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("n_scanned")
+        )
     )
     zero = F.lit(0).cast("long")
     return (

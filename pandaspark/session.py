@@ -30,6 +30,14 @@ def get_spark(app_name: str = "pandaspark", aqe: bool = True) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # the codegen class cache defaults to 100 entries JVM-wide; a
+        # 201-query workload compiles ~5-10 WholeStageCodegen classes per
+        # query, so at the default every query re-pays janino compilation
+        # whenever >= ~15 other queries ran since its last execution
+        # (measured at sf0.1: q58's first run after a 30-query churn 3.1 s
+        # vs 2.3 s with the cache sized to hold the whole workload).
+        # Metaspace cost is a few KB per entry — negligible
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         # no stderr progress bars: the bench driver captures a bounded tail
         # of merged output, and \r-spam competes with the JSON result line
