@@ -340,22 +340,25 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for table, col in _ENC_COLS:
         df = load(spark, sf_dir, table).select(F.col(col).cast("string").alias("v"))
-        stats = df.agg(
-            F.count("v").alias("n"),
-            F.countDistinct("v").alias("ndv"),
-            F.sum(F.length("v")).cast("long").alias("plain_bytes"),
-        )
-        dict_bytes = (
-            df.filter(F.col("v").isNotNull())
-            .distinct()
-            .agg(F.sum(F.length("v")).cast("long").alias("dict_value_bytes"))
+        # ONE scan per column: the per-value histogram serves all four
+        # stats at once (the old form scanned each table twice — a
+        # countDistinct Expand plus a separate distinct+sum — per column).
+        # Null handling matches the old aggregates exactly: count("v") and
+        # countDistinct("v") skip nulls; length(NULL) is NULL so both
+        # byte sums skip the null group on their own.
+        g = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        stats = g.agg(
+            F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)).alias("n"),
+            F.count("v").alias("ndv"),
+            F.sum(F.length("v") * F.col("cnt")).cast("long").alias("plain_bytes"),
+            F.sum(F.length("v")).cast("long").alias("dict_value_bytes"),
         )
         code = (
             F.when(F.col("ndv") <= 256, F.lit(1))
             .when(F.col("ndv") <= 65536, F.lit(2))
             .otherwise(F.lit(4))
         )
-        prof = stats.crossJoin(F.broadcast(dict_bytes)).select(
+        prof = stats.select(
             F.lit(f"{table}.{col}").alias("column_name"),
             F.col("n").cast("long").alias("n_values"),
             F.col("ndv").cast("long").alias("ndv"),
