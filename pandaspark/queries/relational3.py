@@ -936,10 +936,48 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # the three lineitem FK audits share ONE fact scan: broadcast left
+    # joins against the (distinct) parent keys and count the null-parent
+    # rows — identical counts to three per-FK anti-joins, without scanning
+    # the fact table three times (parents are PKs, distinct() makes the
+    # left join provably multiplication-free)
+    miss = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(o.select("o_orderkey").distinct()),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey").distinct()),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey").distinct()),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .agg(
+            *[
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"m{i}")
+                for i, pk in enumerate(("o_orderkey", "p_partkey", "s_suppkey"))
+            ]
+        )
+    )
+    li_rows = miss.select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem->orders',   m0,"
+            " 'lineitem->part',     m1,"
+            " 'lineitem->supplier', m2)"
+            " AS (relation, n_orphans)"
+        )
+    )
     parts = [
-        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
-        orphans(li, "l_partkey", load(spark, sf_dir, "part"), "p_partkey", "lineitem->part"),
-        orphans(li, "l_suppkey", load(spark, sf_dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+        li_rows,
         orphans(o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", "orders->customer"),
         orphans(load(spark, sf_dir, "customer"), "c_nationkey", load(spark, sf_dir, "nation"), "n_nationkey", "customer->nation"),
         orphans(load(spark, sf_dir, "supplier"), "s_nationkey", load(spark, sf_dir, "nation"), "n_nationkey", "supplier->nation"),
