@@ -852,7 +852,14 @@ def merge_asof(
 # frames, whose array columns run kilobytes per row on long documents.
 BROADCAST_GATE_MAX_BYTES = 256 << 20  # comfortably under the 8 GB hard limit
 # per-row estimates for the two frame shapes this family gates:
-ID_ROW_BYTES = 16  # one long key + row overhead
+# a broadcast hash relation costs far more than the 8-byte key payload:
+# LongHashedRelation stores key + row in an open-addressing map at
+# ~50-75% load, and the serialized broadcast plus the per-executor
+# deserialized copy roughly double resident size again. 64 B/row is the
+# measured-envelope figure (gates the default ID frame at ~4M rows /
+# 256 MB estimated instead of the old 16 B figure's ~16.7M rows, which
+# could admit ~1 GB of real memory).
+ID_ROW_BYTES = 64
 # a K-char-shingle array is ~n_chars strings of K bytes each plus per-
 # element overhead; 32 KiB covers ~1k-char docs with margin. Corpora with
 # much longer docs should pass a measured estimate instead.

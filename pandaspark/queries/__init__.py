@@ -142,11 +142,17 @@ def spread(df: DataFrame) -> DataFrame:
     maxSplitBytes: maxSplitBytes = min(maxPartitionBytes, max(openCost,
     paddedTotal/minPartitionNum)); partitions ≈ paddedTotal/maxSplitBytes),
     read from the session conf — so small-file packing and a non-default
-    spark.sql.files.maxPartitionBytes both estimate correctly (a raw
-    len(files) >= cores check would skip a needed repartition when many
-    tiny files coalesce into few partitions). Non-local / non-file plans
-    fall back to the RDD probe (never hit by the harness, which reads
-    local parquet)."""
+    spark.sql.files.maxPartitionBytes both estimate correctly.
+
+    Non-local (s3/hdfs) scans can't stat sizes cheaply, so they take a
+    two-tier fallback: at >= cores FILES the repartition is skipped on the
+    count alone — a deliberate trade that accepts one miss (>= cores tiny
+    remote files packing into fewer-than-cores partitions stay unspread,
+    costing only the map-side parallelism this helper exists to restore,
+    never correctness) to avoid a full physical-planning RDD probe at
+    exactly the scale this function targets; under cores files, the RDD
+    probe decides exactly (never hit by the harness, which reads local
+    parquet)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     sizes: list[int] | None = []
@@ -183,11 +189,10 @@ def spread(df: DataFrame) -> DataFrame:
         max_split = min(max_pb, max(open_cost, -(-total // max(1, min_pn))))
         est = max(1, -(-total // max(1, max_split)))
     elif len(files) >= par:
-        # non-local (s3/hdfs) many-file scan: at >= cores files the scan
-        # already feeds every core (packing only ever REDUCES partition
-        # count for tiny files, and a no-op repartition-skip is the safe
-        # default), so don't pay the full physical-planning RDD probe at
-        # exactly the scale this function is designed for
+        # non-local (s3/hdfs) many-file scan: skip on file count alone
+        # (see docstring: accepts the many-tiny-remote-files miss, a
+        # parallelism-only cost, to avoid the physical-planning RDD probe
+        # at exactly the scale this function is designed for)
         est = par
     else:
         est = df.rdd.getNumPartitions()

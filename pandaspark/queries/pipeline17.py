@@ -348,7 +348,13 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         # byte sums skip the null group on their own.
         g = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
         stats = g.agg(
-            F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)).alias("n"),
+            # coalesce: SUM over an empty histogram is NULL where the
+            # oracle's count(col) is 0 (the byte sums stay NULL on empty
+            # input on BOTH engines, so only n needs it)
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)),
+                F.lit(0).cast("long"),
+            ).alias("n"),
             F.count("v").alias("ndv"),
             F.sum(F.length("v") * F.col("cnt")).cast("long").alias("plain_bytes"),
             F.sum(F.length("v")).cast("long").alias("dict_value_bytes"),

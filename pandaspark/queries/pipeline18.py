@@ -195,6 +195,11 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_scanned")
         )
+        # the oracle derives its row set from `cand` (actual candidate
+        # rows), so an nprobe level whose every probed cell holds only the
+        # query's own vector has NO oracle row; drop the n_scanned=0 row
+        # the probe-derived count would otherwise emit
+        .filter(F.col("n_scanned") > 0)
     )
     zero = F.lit(0).cast("long")
     return (

@@ -313,9 +313,12 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"):
         g = li.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
         prof = g.agg(
-            F.sum(F.when(F.col(c).isNotNull(), F.col("cnt")).otherwise(0)).alias(
-                "n_nonnull"
-            ),
+            # coalesce: SUM over an empty histogram is NULL where the
+            # oracle's count(col) is 0
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), F.col("cnt")).otherwise(0)),
+                F.lit(0).cast("long"),
+            ).alias("n_nonnull"),
             F.count(c).alias("n_distinct"),
             F.min(c).cast("string").alias("min_val"),
             F.max(c).cast("string").alias("max_val"),
