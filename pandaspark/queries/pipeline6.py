@@ -595,9 +595,16 @@ FROM (
 def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The estimate needs both pair members' signatures. Rather than joining
     # signatures back onto the candidate pairs (two more joins = three
-    # serialized broadcast jobs, measured +3s at sf0.1), CARRY the 16-long
-    # sig array through the band join itself: the bands shuffle grows by 16
-    # longs per row and the estimate falls out of the join output directly.
+    # serialized broadcast jobs, measured +3s at sf0.1), the estimate is
+    # computed FROM the band join itself — and folded to its single long
+    # n_eq per collision row BEFORE the pair groupBy, so the pair shuffle
+    # and the shared checkpoint carry 8 bytes per row instead of both
+    # 16-long signatures (256 B; ~1.1 GB -> ~35 MB at skew100's 4.39M
+    # candidate rows). The 16 array compares run per collision row instead
+    # of per distinct pair — codegen'd integer compares, sf0.1-neutral
+    # (3.72 s vs 3.68 s interleaved), and any_value stays map-side
+    # partial-aggregable: every collision row of a pair folds to the same
+    # n_eq, so the combiner collapses duplicates before the exchange.
     from .text import _BANDS, _ROWS_PER_BAND
 
     sigs = minhash_signatures(spark, sf_dir)
@@ -626,7 +633,8 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")
     n_eq = sum(
-        (F.col("sa")[i] == F.col("sb")[i]).cast("long") for i in range(_N_HASHES)
+        (F.col("a.sig")[i] == F.col("b.sig")[i]).cast("long")
+        for i in range(_N_HASHES)
     )
     cand = (
         a.join(
@@ -635,15 +643,17 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.any_value(F.col("a.sig")).alias("sa"),
-            F.any_value(F.col("b.sig")).alias("sb"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_eq.alias("n_eq"),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.any_value("n_eq").alias("n_eq"))
         # consumed by the estimate AND both cand_ids legs below
         .localCheckpoint(eager=False)
     )
-    est = cand.select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    est = cand
     # exact verify reuses q55's candidate-bounded shape: shingle SETS only
     # for docs that appear in some pair
     tc = F.col("t")
