@@ -602,9 +602,11 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16-long signatures (256 B; ~1.1 GB -> ~35 MB at skew100's 4.39M
     # candidate rows). The 16 array compares run per collision row instead
     # of per distinct pair — codegen'd integer compares, sf0.1-neutral
-    # (3.72 s vs 3.68 s interleaved), and any_value stays map-side
-    # partial-aggregable: every collision row of a pair folds to the same
-    # n_eq, so the combiner collapses duplicates before the exchange.
+    # (3.72 s vs 3.68 s interleaved), and the fold stays map-side
+    # partial-aggregable. max() rather than any_value(): every collision
+    # row of a pair carries the same n_eq (signatures are deterministic
+    # per doc_id), so both return the same value at identical cost, but
+    # max() is correct even without that invariant.
     from .text import _BANDS, _ROWS_PER_BAND
 
     sigs = minhash_signatures(spark, sf_dir)
@@ -649,7 +651,7 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_eq.alias("n_eq"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.any_value("n_eq").alias("n_eq"))
+        .agg(F.max("n_eq").alias("n_eq"))
         # consumed by the estimate AND both cand_ids legs below
         .localCheckpoint(eager=False)
     )
