@@ -40,7 +40,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandaspark import operators
 
 from . import load, register, round4, spread, sql_round4
 
@@ -708,7 +707,7 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .text import (  # noqa: E402
     _SHINGLE_K,
     _minhash_oracle_ctes,
-    _norm_text,
+    attach_shingle_sets,
     minhash_candidates,
 )
 
@@ -758,45 +757,10 @@ FROM (
 )
 def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
-    tc = F.col("t")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
-            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
-        )
-    )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # same candidate-bounded verify shape as q55: semi-join BEFORE the
-    # shingle projection; the candidate-sized array frame broadcasts only
-    # under the measured-count gate (shuffle-hash fallback — see
-    # operators.gated_broadcast)
-    n_cand_docs = cand_ids.count()
-    sh = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
-        .select("doc_id", _norm_text().alias("t"))
-        .select("doc_id", shingles.alias("sh"))
-    )
-    j = cand.join(
-        operators.gated_broadcast(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
-            n_cand_docs,
-            row_bytes=operators.SHINGLE_ROW_BYTES,
-        ),
-        "doc_a",
-    ).join(
-        operators.gated_broadcast(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
-            n_cand_docs,
-            row_bytes=operators.SHINGLE_ROW_BYTES,
-        ),
-        "doc_b",
-    )
+    # same candidate-bounded verify shape as q55, via the shared attach:
+    # shingle frame computed once, broadcast once, second leg ReusedExchange
+    # (see text.attach_shingle_sets)
+    j = attach_shingle_sets(spark, sf_dir, cand)
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
     ca = inter / F.size("sa").cast("double")

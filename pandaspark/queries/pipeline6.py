@@ -554,6 +554,7 @@ from .text import (  # noqa: E402
     _minhash_oracle_ctes,
     _N_HASHES,
     _SHINGLE_K,
+    attach_shingle_sets,
     minhash_signatures,
 )
 
@@ -655,51 +656,14 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed by the estimate AND both cand_ids legs below
         .localCheckpoint(eager=False)
     )
-    est = cand
-    # exact verify reuses q55's candidate-bounded shape: shingle SETS only
-    # for docs that appear in some pair
-    tc = F.col("t")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
-            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
-        )
-    )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # broadcast gated on the measured candidate-doc count (shuffle-hash
-    # fallback): candidate volume is corpus-dependent and must not be able
-    # to blow the broadcast limit — see operators.gated_broadcast
-    n_cand_docs = cand_ids.count()
-    sh = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
-        .select("doc_id", _norm_text().alias("t"))
-        .select("doc_id", shingles.alias("sh"))
-    )
-    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sha", "shb"))).cast("double")
+    # exact verify reuses q55's candidate-bounded shape via the shared
+    # attach: shingle SETS only for docs that appear in some pair, computed
+    # once and broadcast once (second leg ReusedExchange) — see
+    # text.attach_shingle_sets
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
     return (
-        est.join(
-            operators.gated_broadcast(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
-                n_cand_docs,
-                row_bytes=operators.SHINGLE_ROW_BYTES,
-            ),
-            "doc_a",
-        )
-        .join(
-            operators.gated_broadcast(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
-                n_cand_docs,
-                row_bytes=operators.SHINGLE_ROW_BYTES,
-            ),
-            "doc_b",
-        )
+        attach_shingle_sets(spark, sf_dir, cand)
         .select(
             "doc_a",
             "doc_b",

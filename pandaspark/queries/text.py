@@ -354,6 +354,67 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(spark, sf_dir)
 
 
+def attach_shingle_sets(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """cand(doc_a, doc_b, ...) → the same rows plus sa/sb 5-gram shingle-set
+    arrays for both pair members — the shared exact-verify attach of
+    q55/q126/q175.
+
+    Shape (guide §2.4 "remove shuffles outright" applied to broadcast
+    exchanges + §5 lineage cut): the candidate-bounded shingle frame `sh`
+    is computed ONCE — semi-join against the pair-member ids BEFORE the
+    shingle projection, then localCheckpoint — and broadcast ONCE: both
+    verify joins reference the same checkpointed subtree, with the sa/sb
+    renames applied OUTSIDE the exchange via dataframe aliases, so the
+    second join's build side canonicalizes equal and becomes a
+    ReusedExchange of the first. Before this helper each query built the
+    whole subtree twice (two documents scans, two semi-joins, two shingle
+    projections, two broadcast builds — separate chains get fresh lambda
+    exprIds, which defeats exchange canonicalization). Measured at sf0.1
+    (interleaved, 5 pairs): q55 3.70 → 3.49 min, new side faster in every
+    pair; plan 2 BroadcastExchange → 1 + 2 ReusedExchange, documents
+    scanned once. At 100 TB the same change removes one full candidate-
+    member scan + one broadcast build per query.
+
+    Broadcasts stay gated on the measured candidate-doc count
+    (operators.gated_broadcast, shuffle-hash fallback) exactly as before;
+    the checkpoint materializes a candidate-bounded frame — never the
+    corpus."""
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    n_cand_docs = cand_ids.count()
+    tc = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
+            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
+        )
+    )
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
+        .select("doc_id", _norm_text().alias("t"))
+        .select("doc_id", shingles.alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    shg = operators.gated_broadcast(
+        sh, n_cand_docs, row_bytes=operators.SHINGLE_ROW_BYTES
+    )
+    a, b = shg.alias("__sha"), shg.alias("__shb")
+    return (
+        cand.join(a, F.col("doc_a") == F.col("__sha.doc_id"))
+        .join(b, F.col("doc_b") == F.col("__shb.doc_id"))
+        .select(
+            *[F.col(c) for c in cand.columns],
+            F.col("__sha.sh").alias("sa"),
+            F.col("__shb.sh").alias("sb"),
+        )
+    )
+
+
 @register("q55_dedup_pipeline", _Q55_ORACLE, "LSH candidates → exact-Jaccard verify → drop list")
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dedup pipeline: LSH candidate pairs are VERIFIED
@@ -370,55 +431,10 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below); localCheckpoint materializes the tiny pair list once instead
     # of re-running the whole LSH scan per consumer
     cand = minhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
-    tc = F.col("t")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(tc) - (_SHINGLE_K - 1), F.lit(1))),
-            lambda i: F.substring(tc, i, F.lit(_SHINGLE_K)),
-        )
-    )
-    # materialize shingle ARRAYS only for docs that appear in a candidate
-    # pair (a semi-join BEFORE the shingle projection): candidates are a
-    # vanishing fraction of the corpus, and without the explicit semi-join
-    # Catalyst would build+shuffle big arrays for every document just to
-    # throw them away at the verify join (~3s of the old q55 at sf0.1)
-    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
-        cand.select(F.col("doc_b").alias("doc_id"))
-    ).distinct()
-    # sh is candidate-sized (the semi-join bounds it to docs that appear in
-    # some pair), so the verify joins normally broadcast it — without a hint
-    # Catalyst costs the full documents scan and plans two sort-merge
-    # shuffles of the shingle-array column. But candidate volume is corpus-
-    # dependent, so the broadcast is GATED on the measured candidate-doc
-    # count (operators.gated_broadcast) with a shuffle-hash fallback: a
-    # boilerplate-heavy corpus degrades to hash joins instead of failing on
-    # an over-limit broadcast.
-    n_cand_docs = cand_ids.count()
-    sh = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
-        .select("doc_id", _norm_text().alias("t"))
-        .select("doc_id", shingles.alias("sh"))
-    )
-    pairs = (
-        cand.join(
-            operators.gated_broadcast(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
-                n_cand_docs,
-                row_bytes=operators.SHINGLE_ROW_BYTES,
-            ),
-            "doc_a",
-        )
-        .join(
-            operators.gated_broadcast(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
-                n_cand_docs,
-                row_bytes=operators.SHINGLE_ROW_BYTES,
-            ),
-            "doc_b",
-        )
-    )
+    # exact-verify attach: shingle arrays ONLY for pair members, computed
+    # once and broadcast once (see attach_shingle_sets — semi-join before
+    # the shingle projection, gated broadcast, ReusedExchange second leg)
+    pairs = attach_shingle_sets(spark, sf_dir, cand)
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_distinct(F.concat("sa", "sb")))
     jac = round4(inter.cast("double") / union.cast("double"))
