@@ -257,16 +257,33 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         (_ivm_split_col() == _DELTA_MOD - 1).alias("is_delta"),
     )
+    # ONE (flag, is_delta) partial-aggregate pass feeds base, delta AND the
+    # full-recompute audit: the prior shape consumed `tagged` three times,
+    # each re-scanning lineitem and re-computing the 600k-row sha256 split
+    # hash (filters on the is_delta group key push through the aggregate,
+    # so exchange reuse never fires across the legs — guide §2.3/§2.4).
+    # base/delta are the is_delta partition rows of `pre` verbatim;
+    # full_v re-sums the BIGINT partials per flag, which is bit-identical
+    # to aggregating the raw rows (integer addition is associative).
+    # `pre` is ≤ 2 rows per flag — the checkpoint is a ~6-row frame.
+    # Measured at sf0.1 (interleaved, 6 pairs): 1.45 → 1.28 s min, new
+    # side faster in every pair. At 100 TB: one fact pass instead of three.
+    pre = tagged.groupBy("l_returnflag", "is_delta").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("sq"),
+        F.sum("price_cents").cast("long").alias("sp"),
+    ).localCheckpoint(eager=False)
 
-    def view(df: DataFrame, suffix: str) -> DataFrame:
-        return df.groupBy("l_returnflag").agg(
-            F.count(F.lit(1)).cast("long").alias(f"n{suffix}"),
-            F.sum("qty").cast("long").alias(f"sq{suffix}"),
-            F.sum("price_cents").cast("long").alias(f"sp{suffix}"),
+    def leg(flag_val: bool, suffix: str) -> DataFrame:
+        return pre.filter(F.col("is_delta") == flag_val).select(
+            "l_returnflag",
+            F.col("n").alias(f"n{suffix}"),
+            F.col("sq").alias(f"sq{suffix}"),
+            F.col("sp").alias(f"sp{suffix}"),
         )
 
-    base = view(tagged.filter(~F.col("is_delta")), "_b")
-    delta = view(tagged.filter(F.col("is_delta")), "_d")
+    base = leg(False, "_b")
+    delta = leg(True, "_d")
     merged = (
         base.withColumnRenamed("l_returnflag", "rf_b")
         .join(
@@ -285,7 +302,11 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    full_v = view(tagged, "_f")
+    full_v = pre.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("n_f"),
+        F.sum("sq").cast("long").alias("sq_f"),
+        F.sum("sp").cast("long").alias("sp_f"),
+    )
     return merged.join(full_v, "l_returnflag").select(
         "l_returnflag",
         F.col("n_merged").cast("long").alias("n_merged"),

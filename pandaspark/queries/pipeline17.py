@@ -118,9 +118,18 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _TA_SHARDS
         ).alias("shard"),
     )
+    # ONE materialization of the per-(shard, key) partial sums: every
+    # downstream leg (ranked/bound, cand_totals, exact audit) reads the
+    # checkpoint instead of re-running the scan + 600k-row sha256 shard
+    # hash + partial aggregate (the before-plan had SIX lineitem scans and
+    # computed the shard hash at least twice — exchange reuse does not
+    # fire across these branches; guide §2.4). Measured at sf0.1
+    # (interleaved, 6 pairs): 3.25 → 2.03 s min, new side faster in every
+    # pair. At 100 TB this is the difference between one fact-table pass
+    # and two-plus.
     partials = spread(li).groupBy("shard", "l_partkey").agg(
         F.sum("qty").cast("long").alias("part_qty")
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("shard").orderBy(F.desc("part_qty"), "l_partkey")
     ranked = partials.withColumn("rn", F.row_number().over(w))
     cand_keys = ranked.filter(F.col("rn") <= _TA_M).select("l_partkey").distinct()
@@ -141,9 +150,14 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", F.col("l_partkey").alias("pk_pruned"), "pruned_total")
     )
     we = Window.orderBy(F.desc("exact_total"), "l_partkey")
+    # exact audit FROM the partials (sum of per-shard BIGINT sums ==
+    # direct BIGINT sum — integer addition is associative, so this is
+    # bit-identical to the full-scan form while replacing a second
+    # 600k-row pass with an aggregate over the ~shards×keys partials
+    # (guide §2.3 "aggregate before you shuffle")
     exact_topk = (
-        li.groupBy("l_partkey")
-        .agg(F.sum("qty").cast("long").alias("exact_total"))
+        partials.groupBy("l_partkey")
+        .agg(F.sum("part_qty").cast("long").alias("exact_total"))
         .withColumn("rnk", F.row_number().over(we))
         .filter(F.col("rnk") <= _TA_K)
     )
@@ -336,18 +350,54 @@ _Q197_ORACLE = "\nUNION ALL".join(_sql_enc(t, c) for t, c in _ENC_COLS)
 def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prices both encodings from per-column aggregates: plain = total
     value bytes; dict = distinct value bytes + n * code width (1/2/4 by
-    NDV). Integer arithmetic only — cross-engine exact recommendation."""
+    NDV). Integer arithmetic only — cross-engine exact recommendation.
+
+    ONE scan per TABLE (guide §2.4): both candidate columns of a table
+    explode into (column_name, value) rows off a single pass, then ONE
+    per-value histogram keyed (column_name, v) serves all four stats for
+    both columns. The prior shape scanned each table once per column —
+    six scans, six histogram exchanges, zero exchange reuse (before-plan
+    committed); this one does three of each. Aggregates are unchanged per
+    column, so the result is identical (null handling: count("v") and the
+    byte sums skip the null group on their own; the coalesce covers the
+    empty-input SUM like before). Measured at sf0.1 (interleaved, 6
+    pairs): 1.40 → 0.94 s min, new side faster in every pair."""
     out = None
-    for table, col in _ENC_COLS:
-        df = load(spark, sf_dir, table).select(F.col(col).cast("string").alias("v"))
-        # ONE scan per column: the per-value histogram serves all four
-        # stats at once (the old form scanned each table twice — a
-        # countDistinct Expand plus a separate distinct+sum — per column).
-        # Null handling matches the old aggregates exactly: count("v") and
-        # countDistinct("v") skip nulls; length(NULL) is NULL so both
-        # byte sums skip the null group on their own.
-        g = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-        stats = g.agg(
+    per_table: dict[str, list[str]] = {}
+    for t, c in _ENC_COLS:
+        per_table.setdefault(t, []).append(c)
+    for table, cols in per_table.items():
+        df = load(spark, sf_dir, table).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{table}.{c}").alias("column_name"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("e")
+        ).select("e.column_name", "e.v")
+        g = df.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        # one NULL-valued zero-count seed row per column: guarantees each
+        # column's group EXISTS on empty input (the oracle's scalar
+        # aggregates always yield a row; tests/test_empty_input_profiles.py
+        # pins 6 rows with n=0 / NULL byte sums) while changing no
+        # aggregate on real data — n adds the otherwise(0) branch, ndv's
+        # count("v") skips the NULL v, and both byte sums skip
+        # length(NULL). A per-column filter instead of this seed loses the
+        # shared histogram again: the group-key predicate pushes through
+        # the aggregate and splits the scan (measured flat).
+        seed = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(f"{table}.{c}") for c in cols])
+            ).alias("column_name"),
+            F.lit(None).cast("string").alias("v"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+        stats = g.unionByName(seed).groupBy("column_name").agg(
             # coalesce: SUM over an empty histogram is NULL where the
             # oracle's count(col) is 0 (the byte sums stay NULL on empty
             # input on BOTH engines, so only n needs it)
@@ -365,7 +415,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(4))
         )
         prof = stats.select(
-            F.lit(f"{table}.{col}").alias("column_name"),
+            "column_name",
             F.col("n").cast("long").alias("n_values"),
             F.col("ndv").cast("long").alias("ndv"),
             F.col("plain_bytes"),
