@@ -119,7 +119,13 @@ FROM scanned s LEFT JOIN hits h USING (nprobe)
     "IVF recall@k and scanned-fraction vs nprobe in one shared plan",
 )
 def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(load(spark, sf_dir, "embeddings"))
+    # e feeds SEVEN consumers (corpus count, centroids, query set, cell
+    # scan, exact baseline, per-cell counts, query labels); without the
+    # checkpoint the before-plan re-ran the scan+spread seven times (only
+    # 3 exchanges got reused). One materialization of the small vector
+    # frame serves all of them (guide §5 — reused and cheap to hold).
+    # Measured at sf0.1 (interleaved, 6 pairs): 2.04 → 1.84 s min.
+    e = spread(load(spark, sf_dir, "embeddings")).localCheckpoint(eager=False)
     n_corpus = e.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     centroid_terms = ", ".join(
         f"CAST(SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
