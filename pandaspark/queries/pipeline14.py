@@ -146,15 +146,21 @@ def _cms_buckets(key: F.Column):
 )
 def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id")
-    # sketch build: explode the d (j, bucket) pairs, one hash-aggregate —
-    # partial counts combine map-side, the sketch is d*w rows total
-    hashed = spread(ev).select(F.explode(_cms_buckets(F.col("user_id"))).alias("jb"))
-    sketch = (
-        hashed.select("jb.j", "jb.bucket")
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # sketch FROM the per-key counts the heavy-hitter audit needs anyway
+    # (same rewrite as q189/q187, guide §2.3): cnt(j,bucket) = Σ key
+    # row-counts == hashing every row, with the d sha256 hashes run once
+    # per DISTINCT key and the table scanned once instead of twice.
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=False)
     )
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = (
+        exact.select(F.explode(_cms_buckets(F.col("user_id"))).alias("jb"), "exact_cnt")
+        .select("jb.j", "jb.bucket", "exact_cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
     top = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(_TOP)
     probe = top.select(
         "user_id", "exact_cnt", F.explode(_cms_buckets(F.col("user_id"))).alias("jb")
@@ -586,24 +592,28 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of input; at 100 TB the estimate costs one map-side-
     combinable count plus arithmetic on 256 numbers."""
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
-    hashed = spread(li).select(
-        F.explode(_cms_buckets(F.col("l_partkey"))).alias("jb")
+    # sketch FROM the per-key counts the exact audit needs anyway (same
+    # rewrite as q189, guide §2.3): cnt(j,bucket) = Σ key row-counts is
+    # identical to hashing every row, but the d sha256 bucket hashes run
+    # once per DISTINCT key instead of once per row, and the table is
+    # scanned once instead of twice.
+    kc = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     sketch = (
-        hashed.select("jb.j", "jb.bucket")
+        kc.select(F.explode(_cms_buckets(F.col("l_partkey"))).alias("jb"), "c")
+        .select("jb.j", "jb.bucket", "c")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("c").alias("cnt"))
     )
     est = (
         sketch.groupBy("j")
         .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
         .agg(F.min("s2").alias("cms_f2"))
     )
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
-    )
+    exact = kc.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
     return est.crossJoin(exact).select(
         "exact_f2",
         F.col("cms_f2").cast("long").alias("cms_f2"),
