@@ -221,11 +221,18 @@ FROM est e JOIN exact USING (event_type)
 )
 def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # ONE distinct-(type, user) frame feeds BOTH the HLL registers and the
+    # exact-NDV audit (q58's shape, guide §2.3): duplicates cannot change
+    # max(rho), so hashing the distinct pairs is identical to hashing every
+    # row — and the sha256 runs once per distinct pair while the separate
+    # countDistinct scan disappears. Interleaved sf0.1 A/B: 0.88 → 0.78 s
+    # min, new side faster or equal in every pair.
+    okd = ev.distinct().localCheckpoint(eager=False)
     hv = sha_int(F.col("user_id").cast("string"))
     # rho = leading-zero rank of the 42-bit suffix, via binary-string
     # length — integer ops only, no libm log2
     r = (
-        spread(ev)
+        okd
         .select("event_type", hv.alias("hv"))
         .select(
             "event_type",
@@ -250,8 +257,8 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(inv) + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1.0))
         ).alias("hll_est"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("exact_ndv")
+    exact = okd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_ndv")
     )
     return est.join(F.broadcast(exact), "event_type").select(
         "event_type",

@@ -250,8 +250,15 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"), "user_id"
     )
+    # ONE distinct-(day, user) frame feeds the registers, the day spine AND
+    # the exact audit (q182/q58's shape): within-day duplicates cannot
+    # change max(rho) or countDistinct, so results are identical while the
+    # sha256 runs once per distinct pair and the event scan happens once
+    # instead of three times. Interleaved sf0.1 A/B: 0.96 → 0.85 s min,
+    # faster in 4/5 pairs.
+    okd = ev.distinct().localCheckpoint(eager=False)
     hv = sha_int(F.col("user_id").cast("string"))
-    r = spread(ev).select("day", hv.alias("hv")).select(
+    r = okd.select("day", hv.alias("hv")).select(
         "day",
         (F.col("hv") % _HLL_M).alias("idx"),
         F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(43))
@@ -262,7 +269,7 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rho"),
     )
     day_reg = r.groupBy("day", "idx").agg(F.max("rho").alias("mreg"))
-    spine = ev.select("day").distinct()
+    spine = okd.select("day").distinct()
     win_reg = (
         spine.alias("s")
         .join(
@@ -286,7 +293,7 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         spine.alias("s2")
         .join(
-            ev.alias("e"),
+            okd.alias("e"),
             F.col("e.day").between(
                 F.date_sub(F.col("s2.day"), _WIN_DAYS - 1), F.col("s2.day")
             ),
