@@ -378,7 +378,16 @@ def attach_shingle_sets(spark: SparkSession, sf_dir: str, cand: DataFrame) -> Da
     Broadcasts stay gated on the measured candidate-doc count
     (operators.gated_broadcast, shuffle-hash fallback) exactly as before;
     the checkpoint materializes a candidate-bounded frame — never the
-    corpus."""
+    corpus.
+
+    The documents side is spread() BEFORE the semi-join: the fixture is a
+    single-file scan, so without it the normalize + shingle + array_distinct
+    projection for ~4k candidate docs runs on ONE core while 31 idle
+    (guide §2.2 partition sizing). Measured at sf0.1 (r11, interleaved):
+    the q55-shaped verify 3.63–3.69 s → 2.25–2.38 s. At 100 TB spread()
+    is a structural no-op (the scan already feeds every core) and the
+    semi-join + projection parallelize over the scan's own splits —
+    row-preserving either way, results identical."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -393,8 +402,7 @@ def attach_shingle_sets(spark: SparkSession, sf_dir: str, cand: DataFrame) -> Da
         )
     )
     sh = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        spread(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
         .join(operators.gated_broadcast(cand_ids, n_cand_docs), "doc_id", "left_semi")
         .select("doc_id", _norm_text().alias("t"))
         .select("doc_id", shingles.alias("sh"))
