@@ -419,8 +419,18 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (sequence(1, greatest(.., 1)) has >= 1 element), so the
     # outer variant is row-for-row identical. spread() before the build
     # keeps the array construction on every core.
-    sets = spread(d.select("doc_id", _norm_text().alias("t"))).select(
-        "doc_id", shingles.alias("s"), F.size(shingles).alias("n")
+    # s and n in SEPARATE projections: HOF expressions are CodegenFallback,
+    # so this Project runs interpreted with NO common-subexpression
+    # elimination — `shingles.alias("s"), F.size(shingles)` in one select
+    # evaluates the whole array_distinct(transform(...)) pipeline TWICE per
+    # row (verified in plans/r11/q118_before.txt op (6)). CollapseProject
+    # keeps the split because `s` is referenced twice and is non-cheap.
+    # Measured at sf0.1 (r11, interleaved min-of-8): 1.905 -> 1.808 s,
+    # 6/8 pairs. At 100 TB this halves the build stage's per-row compute.
+    sets = (
+        spread(d.select("doc_id", _norm_text().alias("t")))
+        .select("doc_id", shingles.alias("s"))
+        .withColumn("n", F.size("s"))
     )
     tok = sets.select("doc_id", "n", F.explode_outer("s").alias("tk"))
     # global rarity order WITHOUT a global rank: the total order is the
