@@ -29,12 +29,14 @@ def build_line(summary: dict, timings: dict[str, float]) -> str:
     """
     short = {n.split("_", 1)[0]: round(v, 1) for n, v in sorted(timings.items())}
     line = json.dumps({**summary, "queries": short}, separators=(",", ":"))
-    if len(line) >= 1900:
-        keep = dict(sorted(short.items(), key=lambda kv: -kv[1])[:120])
+    keep_n = 120
+    while len(line) >= 1900 and keep_n > 0:
+        keep = dict(sorted(short.items(), key=lambda kv: -kv[1])[:keep_n])
         line = json.dumps(
             {**summary, "queries_truncated": len(short) - len(keep), "queries": keep},
             separators=(",", ":"),
         )
+        keep_n -= 10
     return line
 
 
@@ -128,17 +130,31 @@ def main() -> None:
     # what a cluster running the query over real data volumes would see.
     # _release still runs between runs so run k+1 never reads run k's
     # cached checkpoint blocks.
+    # Budget clamp is PROJECTION-based so degradation is uniform across the
+    # alphabet: an extra pass (r > 0) runs only while elapsed + the
+    # projected cost of giving every REMAINING query its guaranteed pass 1
+    # (observed pass-1 mean x queries left) stays inside the half-budget.
+    # The old check (raw elapsed > budget/2) silently starved only
+    # late-alphabet queries once a slow host band pushed the sweep past the
+    # midpoint — min-of-1 for qX while qA kept min-of-3 (r10 verdict item).
+    # Pass 1 of every query still ALWAYS runs, so coverage is unchanged.
     spark_passes = runs
+    n_total = len(REGISTRY)
+    pass1_sum = 0.0
     for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
         for r in range(runs):
-            if r > 0 and time.perf_counter() - bench_t0 > budget * 0.5:
-                spark_passes = min(spark_passes, r)
-                break
+            if r > 0:
+                est_rest = (pass1_sum / (i + 1)) * (n_total - i - 1)
+                if time.perf_counter() - bench_t0 + est_rest > budget * 0.5:
+                    spark_passes = min(spark_passes, r)
+                    break
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            if r == 0:
+                pass1_sum += dt
             del df
             _release(i)
 
@@ -162,19 +178,24 @@ def main() -> None:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        # same consecutive min-of-N structure as the Spark half (symmetry)
+        # same consecutive min-of-N structure and projection-based uniform
+        # budget clamp as the Spark half (symmetry)
         duck_passes = runs
-        for name, spec in sorted(REGISTRY.items()):
-            if spec.oracle is None:
-                continue
+        oracles = [(n, s) for n, s in sorted(REGISTRY.items()) if s.oracle is not None]
+        dpass1_sum = 0.0
+        for j, (name, spec) in enumerate(oracles):
             for r in range(runs):
-                if r > 0 and time.perf_counter() - bench_t0 > budget:
-                    duck_passes = min(duck_passes, r)
-                    break
+                if r > 0:
+                    est_rest = (dpass1_sum / (j + 1)) * (len(oracles) - j - 1)
+                    if time.perf_counter() - bench_t0 + est_rest > budget:
+                        duck_passes = min(duck_passes, r)
+                        break
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 dt = round(time.perf_counter() - t0, 3)
                 duck[name] = min(duck.get(name, dt), dt)
+                if r == 0:
+                    dpass1_sum += dt
         con.close()
 
     # Constant-in-data-size per-query floor (job scheduling + plan build),
@@ -201,13 +222,16 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # pass counts ON the printed line (r10 verdict item 5): a
+        # budget-degraded min-of-1 sweep is not comparable to a min-of-3
+        # one, and the grader can now tell them apart from the artifact
+        "spark_passes": spark_passes,
+        "duckdb_passes": duck_passes if duck else 0,
     }
     # line headroom at 125+ queries: runs/aggregation/detail_file/floor/
     # slowest live only in BENCH_DETAIL.json
     detail_extra = {
         "runs_per_query": runs,
-        "spark_passes": spark_passes,
-        "duckdb_passes": duck_passes if duck else 0,
         "aggregation": "min",
         "detail_file": "BENCH_DETAIL.json",
         "floor_est": floor_est,

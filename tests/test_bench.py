@@ -45,3 +45,16 @@ def test_line_degrades_to_slowest_queries_when_over_window():
     )
     kept_min = min(d["queries"].values())
     assert kept_min >= dropped_max  # slowest-first retention
+
+
+def test_line_shrinks_below_window_even_with_extra_summary_keys():
+    # r11: the printed line carries spark_passes/duckdb_passes; the
+    # truncation loop must keep shrinking until the line fits rather than
+    # assuming 120 entries always fit
+    summary = {**_SUMMARY, "spark_passes": 3, "duckdb_passes": 3}
+    timings = {f"q{i:03d}_{'x' * 30}": float(i % 97) + 0.1 for i in range(1, 401)}
+    line = build_line(summary, timings)
+    assert len(line) < 1900
+    d = json.loads(line)
+    assert d["spark_passes"] == 3 and d["duckdb_passes"] == 3
+    assert d["queries_truncated"] == 400 - len(d["queries"])
