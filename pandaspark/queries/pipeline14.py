@@ -257,8 +257,12 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(inv) + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1.0))
         ).alias("hll_est"),
     )
+    # count(user_id), not count(*): the oracle's count(DISTINCT user_id)
+    # excludes NULLs, and a NULL user_id survives ev.distinct() as its own
+    # pair row. The fixtures carry no NULL user_ids (so hashes are
+    # unchanged), but this keeps the audit exact on any corpus (r10 ADVICE).
     exact = okd.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_ndv")
+        F.count("user_id").cast("long").alias("exact_ndv")
     )
     return est.join(F.broadcast(exact), "event_type").select(
         "event_type",
