@@ -429,6 +429,15 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", sha_int("s").alias("f"))
         .filter(F.col("f") % _WG_MOD == 0)
         .distinct()
+        # checkpoint the winnowed fingerprints (two longs per row, ~3% of
+        # grams survive %MOD + distinct): without it the pair join's
+        # inferred isnotnull(doc_id) pushes down the idx leg ONLY, the two
+        # fp derivations stop canonicalizing equal, and the full
+        # explode+sha gram pipeline runs TWICE (plan ops (1)-(11) vs
+        # (12)-(25) in plans/r11/q184_before.txt). Measured at sf0.1
+        # (r11, interleaved): 0.983 -> 0.781 s min, ckpt faster in 6/6
+        # pairs. At 100 TB: one gram scan instead of two.
+        .localCheckpoint(eager=False)
     )
     df_band = (
         fp.groupBy("f")
