@@ -633,7 +633,13 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket").localCheckpoint(eager=False)
+    # ^ same cut as text.candidates_from_signatures: the self-join's build
+    # side is a BroadcastExchange, under which nothing can be reused, so
+    # without the checkpoint the full signature pipeline (shingle explode +
+    # sha + 16-min aggregate) runs twice. Payload here additionally carries
+    # sig (16 longs/row) for the n_eq fold — still ~12 MB at sf0.1.
+    # Measured (r11, interleaved min-of-5): 2.049 -> 1.883 s, 4/5 pairs.
     a, b = bands.alias("a"), bands.alias("b")
     n_eq = sum(
         (F.col("a.sig")[i] == F.col("b.sig")[i]).cast("long")

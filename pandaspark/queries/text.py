@@ -302,7 +302,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def candidates_from_signatures(banded: DataFrame) -> DataFrame:
     """Band the signatures into LSH buckets; bucket-join yields candidate
     near-dup pairs (doc_a < doc_b). Fanout is bounded by band width — the
-    canonical scalable near-dedup join, never all-pairs."""
+    canonical scalable near-dedup join, never all-pairs.
+
+    `bands` is localCheckpoint'd before the self-join: the join's build
+    side is a BroadcastExchange, and nothing under a broadcast can be a
+    ReusedExchange — so without the cut BOTH sides re-derive the entire
+    signature pipeline (shingle explode, per-shingle sha, 16-min
+    aggregate run TWICE; only the repartition exchange was reused —
+    plans/r11/q34_before.txt ops (6)-(10) vs (14)-(18)). The checkpoint
+    payload is tiny ((doc_id, band, bucket) — 16 rows/doc) while the
+    deduped pipeline is the dominant compute. Measured at sf0.1 (r11,
+    interleaved min-of-5): q34 0.893 -> 0.745, q55 1.667 -> 1.552,
+    q175 1.635 -> 1.588 — faster in 15/15 pairs. At 100 TB: one
+    signature pass per query instead of two."""
     bands = banded.select(
         "doc_id",
         F.explode(
@@ -324,7 +336,7 @@ def candidates_from_signatures(banded: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
